@@ -1,0 +1,23 @@
+"""Test configuration: run JAX on CPU with 8 virtual devices.
+
+Mesh/pjit sharding tests exercise multi-device code paths without TPU hardware
+(SURVEY.md §4 strategy #3). Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session may preset a TPU platform
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Keep TF (used only as a golden oracle) quiet and off any accelerator.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
