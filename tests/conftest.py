@@ -14,6 +14,13 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
 
+# The env var alone is NOT sufficient under the axon TPU tunnel (it re-registers
+# itself); the config update below is authoritative.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", "tests must run on CPU"
+
 import numpy as np
 import pytest
 

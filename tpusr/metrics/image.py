@@ -89,6 +89,43 @@ def ssim(
     return val if not squeeze else val
 
 
+def ssim_skimage(
+    y_true: jnp.ndarray,
+    y_pred: jnp.ndarray,
+    data_range: float = 1.0,
+    win_size: int = 7,
+    channel_axis: int | None = None,
+) -> jnp.ndarray:
+    """skimage.metrics.structural_similarity parity (defaults: 7x7 uniform
+    window, sample covariance). The classic-comparison harness
+    (``super_resolucion_clasica.ipynb cell 7``) scores with this variant, not
+    tf.image's Gaussian one."""
+    x = y_true.astype(jnp.float32)
+    y = y_pred.astype(jnp.float32)
+    if channel_axis is not None:
+        vals = [ssim_skimage(jnp.take(x, c, channel_axis), jnp.take(y, c, channel_axis),
+                             data_range, win_size) for c in range(x.shape[channel_axis])]
+        return jnp.mean(jnp.stack(vals))
+
+    def ufilt(a):
+        win = np.full((win_size,), 1.0 / win_size)
+        return _filter2_valid(a[None, :, :, None], win)[0, :, :, 0]
+
+    np_ = win_size ** 2
+    cov_norm = np_ / (np_ - 1.0)  # sample covariance
+    ux, uy = ufilt(x), ufilt(y)
+    uxx, uyy, uxy = ufilt(x * x), ufilt(y * y), ufilt(x * y)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / ((ux**2 + uy**2 + c1) * (vx + vy + c2))
+    # skimage crops pad=(win-1)//2 from each side of the VALID map's *input*;
+    # the VALID output is already cropped by pad on each side, so mean directly.
+    return jnp.mean(s)
+
+
 # ---------------------------------------------------------------- error stats
 def mae(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Mean absolute error (profiling_methods.py:45-47)."""
