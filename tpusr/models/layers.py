@@ -1,0 +1,115 @@
+"""Shared flax building blocks: pixel shuffle, spectral normalization,
+self-attention.
+
+References:
+- pixel_shuffle == tf.nn.depth_to_space DCR order (EDSR_model.py:81,
+  ESRGAN_model.py:298).
+- SNConv/SNDense == keras SpectralNormalization(Conv2D/Dense)
+  (tensorflow_addons), one power iteration per training step with a persistent
+  u vector (ESRGAN_model.py:358-373). Functionally: u lives in the 'spectral'
+  variable collection, mutable only inside training steps.
+- SelfAttention == ESRGAN_model.py:30-79 (SAGAN-style, full HWxHW attention,
+  straight residual add, no gamma).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """tf.nn.depth_to_space parity (DCR): (N,H,W,C*r^2) -> (N,H*r,W*r,C)."""
+    n, h, w, c = x.shape
+    oc = c // (r * r)
+    x = x.reshape(n, h, w, r, r, oc)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(n, h * r, w * r, oc)
+
+
+def _l2_normalize(v, eps=1e-12):
+    return v / jnp.sqrt(jnp.sum(v * v) + eps)
+
+
+def _spectral_sigma(module: nn.Module, w_mat: jnp.ndarray, update_stats: bool):
+    """One power-iteration estimate of ||W||_2 with persistent u (1, out)."""
+    u = module.variable(
+        "spectral", "u",
+        lambda rng, shape: jax.random.normal(rng, shape),
+        module.make_rng("params") if module.is_initializing() else jax.random.PRNGKey(0),
+        (1, w_mat.shape[-1]),
+    )
+    v_val = _l2_normalize(u.value @ w_mat.T)
+    u_new = _l2_normalize(v_val @ w_mat)
+    sigma = (v_val @ w_mat @ u_new.T)[0, 0]
+    if update_stats and not module.is_initializing():
+        u.value = u_new
+    return sigma
+
+
+class SNConv(nn.Module):
+    """Spectrally-normalized Conv2D (keras SpectralNormalization parity)."""
+
+    features: int
+    kernel_size: tuple[int, int] = (3, 3)
+    strides: tuple[int, int] = (1, 1)
+    padding: str = "SAME"
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = False):
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.glorot_uniform(),
+                            (kh, kw, x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        sigma = _spectral_sigma(self, kernel.reshape(-1, self.features), update_stats)
+        w_bar = (kernel / sigma).astype(x.dtype)
+        y = jax.lax.conv_general_dilated(
+            x, w_bar, self.strides, self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=_HI)
+        return y + bias.astype(x.dtype)
+
+
+class SNDense(nn.Module):
+    """Spectrally-normalized Dense."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = False):
+        kernel = self.param("kernel", nn.initializers.glorot_uniform(),
+                            (x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        sigma = _spectral_sigma(self, kernel, update_stats)
+        return x @ ((kernel / sigma).astype(x.dtype)) + bias.astype(x.dtype)
+
+
+class SelfAttention(nn.Module):
+    """SAGAN-style self-attention over HW tokens (ESRGAN_model.py:30-79).
+
+    f, g project to C//8, h to C//2, output projection v back to C; the
+    attention map is softmax(g @ f^T) over all HW positions; the residual is a
+    straight add (no learned gamma, matching the reference).
+    """
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, hh, ww, c = x.shape
+        f = nn.Conv(self.channels // 8, (1, 1), name="f")(x)
+        g = nn.Conv(self.channels // 8, (1, 1), name="g")(x)
+        h = nn.Conv(self.channels // 2, (1, 1), name="h")(x)
+
+        ff = f.reshape(b, hh * ww, -1)
+        gg = g.reshape(b, hh * ww, -1)
+        hf = h.reshape(b, hh * ww, -1)
+
+        s = jnp.einsum("bic,bjc->bij", gg, ff, precision=_HI)  # (B, HW, HW)
+        beta = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bij,bjc->bic", beta, hf, precision=_HI)
+        o = o.reshape(b, hh, ww, self.channels // 2)
+        o = nn.Conv(self.channels, (1, 1), name="v")(o)
+        return x + o
