@@ -1,0 +1,321 @@
+"""Supervised trainers for SRCNN / EDSR / VGG16 — optax + one jit'd step.
+
+Lifecycle parity with the reference model classes (``SRCNN_model.py:62-109``,
+``EDSR_model.py:140-187``, ``VGG16_model.py:111-166``): ``fit`` returns
+(history, time_tracker, memory_tracker); EarlyStopping(val_loss) with
+best-weight restore, ReduceLROnPlateau, Adam. The whole train step — forward,
+loss, PSNR/SSIM metrics, grads, update — is one compiled XLA graph; batches
+are sharded over the mesh's 'data' axis when a mesh is given (the reference
+has no distributed path; this is the TPU-native upgrade).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from tpusr.metrics.image import psnr as psnr_fn, ssim as ssim_fn
+from tpusr.train.callbacks import (
+    EarlyStopping, EpochMemoryTracker, EpochTimeTracker, ReduceLROnPlateau,
+)
+from tpusr.dist.mesh import shard_batch, replicate
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    lr: jnp.ndarray  # mutable LR so ReduceLROnPlateau needs no recompile
+
+
+@dataclasses.dataclass
+class FitResult:
+    history: dict
+    time_tracker: EpochTimeTracker
+    memory_tracker: EpochMemoryTracker
+    state: TrainState
+
+
+def _adam(clipnorm: float | None):
+    def tx(lr):
+        core = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+        chain = [core]
+        if clipnorm is not None:
+            chain = [optax.clip_by_global_norm(clipnorm)] + chain
+        chain.append(optax.scale(-lr))
+        return chain
+    return tx
+
+
+class SupervisedSRTrainer:
+    """MSE regression trainer with PSNR/SSIM metrics (SRCNN/EDSR semantics)."""
+
+    def __init__(self, model, learning_rate=1e-4, clipnorm=None, mesh=None,
+                 loss: str = "mse"):
+        self.model = model
+        self.base_lr = learning_rate
+        self.clipnorm = clipnorm
+        self.mesh = mesh
+        self.loss_name = loss
+        self._build_steps()
+
+    # ---- functional pieces -------------------------------------------------
+    def init_state(self, sample_x, rng=None) -> TrainState:
+        rng = rng if rng is not None else jax.random.PRNGKey(42)
+        params = self.model.init(rng, jnp.zeros_like(sample_x[:1]))["params"]
+        opt_state = self._opt_init(params)
+        state = TrainState(params=params, opt_state=opt_state,
+                           lr=jnp.asarray(self.base_lr, jnp.float32))
+        if self.mesh is not None:
+            state = replicate(self.mesh, state)
+        return state
+
+    def _loss(self, pred, target):
+        if self.loss_name == "mse":
+            return jnp.mean((pred - target) ** 2)
+        return jnp.mean(jnp.abs(pred - target))
+
+    def _build_steps(self):
+        model = self.model
+
+        def opt_init(params):
+            # scale_by_adam state only; lr applied separately each step
+            return optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8).init(params)
+
+        self._opt_init = opt_init
+        adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+        clipnorm = self.clipnorm
+        loss_fn_inner = self._loss
+
+        def train_step(state: TrainState, x, y):
+            def loss_fn(params):
+                pred = model.apply({"params": params}, x)
+                loss = loss_fn_inner(pred, y)
+                return loss, pred
+
+            (loss, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            if clipnorm is not None:
+                grads, _ = optax.clip_by_global_norm(clipnorm).update(grads, optax.EmptyState())
+            updates, opt_state = adam.update(grads, state.opt_state, state.params)
+            updates = jax.tree.map(lambda u: -state.lr * u, updates)
+            params = optax.apply_updates(state.params, updates)
+            metrics = {
+                "loss": loss,
+                "psnr": jnp.mean(psnr_fn(y, pred)),
+                "ssim": jnp.mean(ssim_fn(y, pred)),
+            }
+            return state.replace(params=params, opt_state=opt_state), metrics
+
+        def eval_step(state: TrainState, x, y):
+            pred = model.apply({"params": state.params}, x)
+            return {
+                "loss": loss_fn_inner(pred, y),
+                "psnr": jnp.mean(psnr_fn(y, pred)),
+                "ssim": jnp.mean(ssim_fn(y, pred)),
+            }
+
+        self.train_step = jax.jit(train_step, donate_argnums=(0,))
+        self.eval_step = jax.jit(eval_step)
+
+    # ---- keras-like lifecycle ----------------------------------------------
+    def _batches(self, x, y, batch_size, rng, shuffle=True):
+        n = x.shape[0]
+        idx = rng.permutation(n) if shuffle else np.arange(n)
+        for s in range(0, n - batch_size + 1, batch_size):
+            sel = idx[s : s + batch_size]
+            xb, yb = x[sel], y[sel]
+            if self.mesh is not None:
+                xb, yb = shard_batch(self.mesh, xb, yb)
+            yield xb, yb
+        # trailing partial batch is dropped under a mesh (uneven shards); kept otherwise
+        rem = n % batch_size
+        if rem and self.mesh is None:
+            sel = idx[n - rem :]
+            yield x[sel], y[sel]
+
+    def fit(self, x_train, y_train, x_val, y_val, batch_size=16, epochs=50,
+            es_patience=3, plateau_patience=2, plateau_factor=0.5, min_lr=1e-7,
+            seed=42, verbose=True) -> FitResult:
+        state = self.init_state(x_train[:1])
+        rng = np.random.default_rng(seed)
+        early = EarlyStopping(patience=es_patience)
+        plateau = ReduceLROnPlateau(plateau_factor, plateau_patience, min_lr)
+        tt, mt = EpochTimeTracker(), EpochMemoryTracker()
+        history: dict[str, list] = {k: [] for k in (
+            "loss", "psnr", "ssim", "val_loss", "val_psnr", "val_ssim", "lr",
+            "epoch_time_sec")}
+
+        for epoch in range(epochs):
+            tt.begin_epoch()
+            mt.begin_epoch()
+            agg = {"loss": [], "psnr": [], "ssim": []}
+            for xb, yb in self._batches(x_train, y_train, batch_size, rng):
+                state, m = self.train_step(state, xb, yb)
+                for k in agg:
+                    agg[k].append(m[k])
+            train_m = {k: float(np.mean(jax.device_get(v))) for k, v in agg.items()}
+
+            vagg = {"loss": [], "psnr": [], "ssim": []}
+            for xb, yb in self._batches(x_val, y_val, batch_size, rng, shuffle=False):
+                m = self.eval_step(state, xb, yb)
+                for k in vagg:
+                    vagg[k].append(m[k])
+            val_m = {k: float(np.mean(jax.device_get(v))) for k, v in vagg.items()}
+
+            tt.end_epoch()
+            mt.end_epoch()
+            for k, v in train_m.items():
+                history[k].append(v)
+            for k, v in val_m.items():
+                history[f"val_{k}"].append(v)
+            history["lr"].append(float(state.lr))
+            history["epoch_time_sec"].append(tt.epoch_times_sec[-1])
+            if verbose:
+                print(f"epoch {epoch + 1}/{epochs} loss={train_m['loss']:.5f} "
+                      f"psnr={train_m['psnr']:.2f} val_loss={val_m['loss']:.5f} "
+                      f"val_psnr={val_m['psnr']:.2f} lr={float(state.lr):.2e}")
+
+            new_lr = plateau.update(val_m["loss"], float(state.lr))
+            if new_lr != float(state.lr):
+                state = state.replace(lr=jnp.asarray(new_lr, jnp.float32))
+            if early.update(val_m["loss"], jax.device_get(state.params)):
+                break
+
+        if early.best_state is not None:  # restore_best_weights
+            state = state.replace(params=jax.device_put(early.best_state))
+        return FitResult(history, tt, mt, state)
+
+    def evaluate(self, state: TrainState, x_test, y_test, batch_size=16):
+        agg = {"loss": [], "psnr": [], "ssim": []}
+        for xb, yb in self._batches(x_test, y_test, batch_size,
+                                    np.random.default_rng(0), shuffle=False):
+            m = self.eval_step(state, xb, yb)
+            for k in agg:
+                agg[k].append(m[k])
+        return {k: float(np.mean(jax.device_get(v))) for k, v in agg.items()}
+
+
+class ClassifierTrainer(SupervisedSRTrainer):
+    """Sparse-categorical-crossentropy + accuracy (VGG16_model.py semantics).
+
+    Supports freezing the backbone: `trainable_predicate(path)` decides which
+    params receive updates (reference: freeze all VGG16 conv layers unless the
+    last N are unfrozen, VGG16_model.py:75-82).
+    """
+
+    def __init__(self, model, learning_rate=1e-3, mesh=None,
+                 trainable_predicate: Callable[[tuple], bool] | None = None,
+                 dropout_seed: int = 0):
+        self.trainable_predicate = trainable_predicate
+        self.dropout_seed = dropout_seed
+        super().__init__(model, learning_rate=learning_rate, mesh=mesh)
+
+    def _build_steps(self):
+        model = self.model
+        adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+        pred_fn = self.trainable_predicate
+        base_rng = jax.random.PRNGKey(self.dropout_seed)
+
+        def opt_init(params):
+            return adam.init(params)
+
+        self._opt_init = opt_init
+
+        def mask_grads(grads, params):
+            if pred_fn is None:
+                return grads
+            flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+            treedef = jax.tree_util.tree_structure(grads)
+            vals = [g if pred_fn(tuple(getattr(p, "key", str(p)) for p in path))
+                    else jnp.zeros_like(g)
+                    for path, g in flat]
+            return jax.tree_util.tree_unflatten(treedef, vals)
+
+        def train_step(state: TrainState, x, y, step):
+            def loss_fn(params):
+                probs = model.apply({"params": params}, x, True,
+                                    rngs={"dropout": jax.random.fold_in(base_rng, step)})
+                logp = jnp.log(jnp.clip(probs, 1e-7, 1.0))
+                loss = -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
+                return loss, probs
+
+            (loss, probs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            grads = mask_grads(grads, state.params)
+            updates, opt_state = adam.update(grads, state.opt_state, state.params)
+            updates = jax.tree.map(lambda u: -state.lr * u, updates)
+            params = optax.apply_updates(state.params, updates)
+            acc = jnp.mean((jnp.argmax(probs, -1) == y).astype(jnp.float32))
+            return (state.replace(params=params, opt_state=opt_state),
+                    {"loss": loss, "accuracy": acc})
+
+        def eval_step(state: TrainState, x, y):
+            probs = model.apply({"params": state.params}, x)
+            logp = jnp.log(jnp.clip(probs, 1e-7, 1.0))
+            loss = -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
+            acc = jnp.mean((jnp.argmax(probs, -1) == y).astype(jnp.float32))
+            return {"loss": loss, "accuracy": acc}
+
+        self.train_step = jax.jit(train_step, donate_argnums=(0,))
+        self.eval_step = jax.jit(eval_step)
+
+    def fit(self, x_train, y_train, x_val, y_val, batch_size=32, epochs=50,
+            es_patience=3, plateau_patience=2, plateau_factor=0.5, min_lr=1e-7,
+            seed=42, verbose=True) -> FitResult:
+        state = self.init_state(x_train[:1])
+        rng = np.random.default_rng(seed)
+        early = EarlyStopping(patience=es_patience)
+        plateau = ReduceLROnPlateau(plateau_factor, plateau_patience, min_lr)
+        tt, mt = EpochTimeTracker(), EpochMemoryTracker()
+        history: dict[str, list] = {k: [] for k in (
+            "loss", "accuracy", "val_loss", "val_accuracy", "lr", "epoch_time_sec")}
+        step = 0
+        for epoch in range(epochs):
+            tt.begin_epoch()
+            mt.begin_epoch()
+            agg = {"loss": [], "accuracy": []}
+            for xb, yb in self._batches(x_train, y_train, batch_size, rng):
+                state, m = self.train_step(state, xb, yb,
+                                           jnp.asarray(step, jnp.uint32))
+                step += 1
+                for k in agg:
+                    agg[k].append(m[k])
+            train_m = {k: float(np.mean(jax.device_get(v))) for k, v in agg.items()}
+            vagg = {"loss": [], "accuracy": []}
+            for xb, yb in self._batches(x_val, y_val, batch_size, rng, shuffle=False):
+                m = self.eval_step(state, xb, yb)
+                for k in vagg:
+                    vagg[k].append(m[k])
+            val_m = {k: float(np.mean(jax.device_get(v))) for k, v in vagg.items()}
+            tt.end_epoch()
+            mt.end_epoch()
+            for k, v in train_m.items():
+                history[k].append(v)
+            for k, v in val_m.items():
+                history[f"val_{k}"].append(v)
+            history["lr"].append(float(state.lr))
+            history["epoch_time_sec"].append(tt.epoch_times_sec[-1])
+            if verbose:
+                print(f"epoch {epoch + 1}/{epochs} loss={train_m['loss']:.4f} "
+                      f"acc={train_m['accuracy']:.4f} val_acc={val_m['accuracy']:.4f}")
+            new_lr = plateau.update(val_m["loss"], float(state.lr))
+            if new_lr != float(state.lr):
+                state = state.replace(lr=jnp.asarray(new_lr, jnp.float32))
+            if early.update(val_m["loss"], jax.device_get(state.params)):
+                break
+        if early.best_state is not None:
+            state = state.replace(params=jax.device_put(early.best_state))
+        return FitResult(history, tt, mt, state)
+
+    def evaluate(self, state: TrainState, x_test, y_test, batch_size=32):
+        agg = {"loss": [], "accuracy": []}
+        for xb, yb in self._batches(x_test, y_test, batch_size,
+                                    np.random.default_rng(0), shuffle=False):
+            m = self.eval_step(state, xb, yb)
+            for k in agg:
+                agg[k].append(m[k])
+        return {k: float(np.mean(jax.device_get(v))) for k, v in agg.items()}
