@@ -1,0 +1,125 @@
+"""Pipeline tests: patch-SR inference round-trips, patch-vote parity with the
+reference's numpy voting, and the fused LR->SR->classify graph."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpusr.models import SRCNN, EDSR, VGG16Classifier
+from tpusr.pipeline import (
+    super_resolve_image, srcnn_super_resolve, classify_defects,
+    FusedSRClassifyPipeline,
+)
+
+
+def ref_vote(probs):
+    """VGG16_model.py:252-270 voting, verbatim in numpy."""
+    num_classes = int(probs.shape[1])
+    patch_preds = np.argmax(probs, axis=1)
+    votes = np.bincount(patch_preds, minlength=num_classes)
+    top_vote = votes.max()
+    top_classes = np.where(votes == top_vote)[0]
+    if len(top_classes) == 1:
+        winning = int(top_classes[0])
+    else:
+        mean_probs = probs.mean(axis=0)
+        winning = int(top_classes[np.argmax(mean_probs[top_classes])])
+    return winning, float(probs[:, winning].mean())
+
+
+def test_vote_matches_reference():
+    from tpusr.pipeline.defect_pipeline import _vote
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        n = rng.integers(2, 30)
+        c = rng.integers(2, 5)
+        probs = rng.random((n, c)).astype(np.float32)
+        probs /= probs.sum(1, keepdims=True)
+        want_cls, want_conf = ref_vote(probs)
+        got_cls, got_conf = _vote(jnp.asarray(probs))
+        assert int(got_cls) == want_cls
+        assert abs(float(got_conf) - want_conf) < 1e-6
+
+
+def test_identity_sr_roundtrip():
+    """With an identity 'model', patch SR must reproduce the input exactly."""
+    rng = np.random.default_rng(1)
+    lr = rng.random((37, 53, 3), dtype=np.float32)
+    sr, metrics = super_resolve_image(lambda p: p, lr, patch_size_lr=24,
+                                      stride=12, scale=1)
+    np.testing.assert_allclose(np.asarray(sr), lr, atol=1e-6)
+    assert metrics["time_sec"] > 0
+
+
+def test_edsr_patch_sr_shapes():
+    m = EDSR(scale_factor=2, num_res_blocks=2)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 24, 24, 3)))
+    apply_fn = lambda p: m.apply(v, p)
+    lr = np.random.default_rng(2).random((50, 61, 3)).astype(np.float32)
+    sr, metrics = super_resolve_image(apply_fn, lr, patch_size_lr=24, stride=12,
+                                      scale=2)
+    assert sr.shape == (100, 122, 3)
+    assert 0.0 <= float(sr.min()) and float(sr.max()) <= 1.0
+
+
+def test_srcnn_super_resolve_shapes():
+    m = SRCNN(f1=8, f2=4)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 24, 24, 3)))
+    apply_fn = lambda p: m.apply(v, p)
+    lr = np.random.default_rng(3).random((30, 40, 3)).astype(np.float32)
+    sr, metrics = srcnn_super_resolve(apply_fn, lr, hr_h=60, hr_w=80,
+                                      patch_size=24, stride=12)
+    assert sr.shape == (60, 80, 3)
+
+
+def test_classify_defects_smoke():
+    m = VGG16Classifier(num_classes=2)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    clf = lambda p: m.apply(v, p)
+    img = np.random.default_rng(4).random((64, 64, 3)).astype(np.float32)
+    cls, conf = classify_defects(clf, img, patch=32)
+    assert cls in (0, 1)
+    assert 0.0 <= conf <= 1.0
+
+
+def test_fused_pipeline_end_to_end():
+    sr_model = EDSR(scale_factor=2, num_res_blocks=1)
+    sv = sr_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    clf_model = VGG16Classifier(num_classes=2)
+    cv = clf_model.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)))
+
+    pipe = FusedSRClassifyPipeline(
+        sr_apply=lambda x: sr_model.apply(sv, x),
+        clf_apply=lambda p: clf_model.apply(cv, p),
+        lr_hw=(16, 16), scale=2, patch=32, stride=16)
+
+    lr_batch = np.random.default_rng(5).random((4, 16, 16, 3)).astype(np.float32)
+    sr, classes, confs = pipe(lr_batch)
+    assert sr.shape == (4, 32, 32, 3)
+    assert classes.shape == (4,) and confs.shape == (4,)
+    assert all(int(c) in (0, 1) for c in np.asarray(classes))
+    ips = pipe.throughput(lr_batch, iters=2)
+    assert ips > 0
+
+
+def test_fused_pipeline_matches_sequential():
+    """The fused graph must equal SR-then-classify run separately."""
+    sr_model = EDSR(scale_factor=2, num_res_blocks=1)
+    sv = sr_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    clf_model = VGG16Classifier(num_classes=2)
+    cv = clf_model.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)))
+    sr_apply = lambda x: sr_model.apply(sv, x)
+    clf_apply = lambda p: clf_model.apply(cv, p)
+
+    pipe = FusedSRClassifyPipeline(sr_apply, clf_apply, (16, 16), 2,
+                                   patch=32, stride=16)
+    lr_batch = np.random.default_rng(6).random((2, 16, 16, 3)).astype(np.float32)
+    sr, classes, confs = pipe(lr_batch)
+
+    for i in range(2):
+        sr_i = np.asarray(sr_apply(jnp.asarray(lr_batch[i:i + 1])))[0]
+        np.testing.assert_allclose(np.asarray(sr[i]), sr_i, atol=2e-6)
+        cls, conf = classify_defects(clf_apply, sr_i, patch=32, stride=16)
+        assert cls == int(classes[i])
+        assert abs(conf - float(confs[i])) < 1e-5

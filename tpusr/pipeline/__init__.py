@@ -1,0 +1,11 @@
+from tpusr.pipeline.inference import (
+    sr_inference_fn,
+    super_resolve_image,
+    srcnn_super_resolve,
+)
+from tpusr.pipeline.defect_pipeline import (
+    make_patch_classifier,
+    classify_defects,
+    FusedSRClassifyPipeline,
+    run_defect_detection_comparison,
+)

@@ -1,0 +1,189 @@
+"""Defect-detection pipeline: patch-vote classification and the fused
+LR -> SR -> classify graph (the BASELINE north-star, config #4).
+
+This reconstructs the reference's missing ``SRModels/defect_detection_pipeline
+.ipynb`` (listed in ``.MISSING_LARGE_BLOBS``) from its consumer APIs:
+``load_predictions_dataset`` (loading_methods.py:288-386), the per-model
+``super_resolve_image`` methods, ``classify_defects_method``
+(VGG16_model.py:168-270), and the comparison plotters
+(deep_lerning_visualizations.py:230-549).
+
+Key design difference from the reference: the whole per-image chain —
+SR network, patch extraction, classifier, majority vote — is ONE jit'd XLA
+graph over a batch of LR images. No host round-trips between stages.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpusr.core.pad import pad_amounts
+from tpusr.core.patches import patch_grid_size, patchify
+from tpusr.metrics.image import psnr as psnr_fn, ssim as ssim_fn
+
+
+def _vote(probs: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Majority vote over patch probabilities with the reference's tie-break
+    (VGG16_model.py:252-270): most votes; ties broken by higher mean
+    probability; confidence = mean prob of the winning class."""
+    num_classes = probs.shape[-1]
+    preds = jnp.argmax(probs, axis=-1)
+    votes = jnp.zeros((num_classes,), jnp.float32).at[preds].add(1.0)
+    mean_probs = jnp.mean(probs, axis=0)
+    # mean_probs < 1 <= one vote, so adding it implements lexicographic
+    # (votes, mean_prob) comparison exactly.
+    winner = jnp.argmax(votes + mean_probs)
+    confidence = mean_probs[winner]
+    return winner, confidence
+
+
+def make_patch_classifier(clf_apply, image_hw: tuple[int, int], patch: int,
+                          stride: int | None = None):
+    """Compile image -> (class, confidence) patch-vote classification for a
+    fixed image shape. `clf_apply(patches)` -> (N, num_classes) probs."""
+    stride = stride if stride is not None else max(1, patch // 2)
+    h, w = image_hw
+    pad_h, pad_w = pad_amounts(h, w, patch, stride)
+
+    @jax.jit
+    def fn(image):
+        x = jnp.pad(image, ((0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
+        patches = patchify(x, patch, stride)
+        probs = clf_apply(patches)
+        return _vote(probs)
+
+    return fn
+
+
+def classify_defects(clf_apply, image, patch: int, stride: int | None = None):
+    """One-shot patch-vote classification (classify_defects_method parity)."""
+    image = jnp.asarray(np.asarray(image, np.float32))
+    fn = make_patch_classifier(clf_apply, image.shape[:2], patch, stride)
+    cls, conf = fn(image)
+    return int(cls), float(conf)
+
+
+class FusedSRClassifyPipeline:
+    """LR image batch -> SR -> patch-vote defect classification, one jit graph.
+
+    `sr_apply(lr_batch)` maps (N, h, w, 3) [0,1] -> (N, h*scale, w*scale, 3)
+    [0,1] (full-image SR — on TPU the whole 128->512 conv stack fits without
+    the reference's patch decomposition; patch mode remains available through
+    tpusr.pipeline.inference for large inputs).
+    `clf_apply(patches)` maps (M, patch, patch, 3) -> (M, num_classes) probs.
+    """
+
+    def __init__(self, sr_apply, clf_apply, lr_hw: tuple[int, int], scale: int,
+                 patch: int = 96, stride: int | None = None, mesh=None):
+        self.lr_hw = lr_hw
+        self.scale = scale
+        self.patch = patch
+        self.stride = stride if stride is not None else max(1, patch // 2)
+        self.mesh = mesh
+
+        h, w = lr_hw
+        hr_h, hr_w = h * scale, w * scale
+        pad_h, pad_w = pad_amounts(hr_h, hr_w, patch, self.stride)
+        nh, nw = patch_grid_size(hr_h + pad_h, hr_w + pad_w, patch, self.stride)
+        n_patches = nh * nw
+        stride_ = self.stride
+        patch_ = patch
+
+        def run(lr_batch):
+            sr = sr_apply(lr_batch)  # (N, hr_h, hr_w, 3)
+
+            def per_image(img):
+                x = jnp.pad(img, ((0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
+                return patchify(x, patch_, stride_)
+
+            patches = jax.vmap(per_image)(sr)              # (N, P, p, p, 3)
+            flat = patches.reshape((-1,) + patches.shape[2:])
+            probs = clf_apply(flat)
+            probs = probs.reshape(sr.shape[0], n_patches, -1)
+            classes, confs = jax.vmap(_vote)(probs)
+            return sr, classes, confs
+
+        self._run = jax.jit(run)
+
+    def __call__(self, lr_batch):
+        """Returns (sr_batch, classes, confidences) — all device arrays."""
+        return self._run(jnp.asarray(lr_batch))
+
+    def throughput(self, lr_batch, iters: int = 10) -> float:
+        """Steady-state images/sec for the fused graph."""
+        lr_batch = jnp.asarray(lr_batch)
+        out = self._run(lr_batch)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = self._run(lr_batch)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        return lr_batch.shape[0] * iters / dt
+
+
+def run_defect_detection_comparison(sr_methods: dict, clf_apply, x_lr, x_hr, y,
+                                    patch: int = 96, stride: int | None = None,
+                                    batch_size: int = 16, verbose: bool = True):
+    """The missing ``defect_detection_pipeline.ipynb``, as a function.
+
+    For each SR method name -> `sr_apply(lr_batch) -> sr_batch` ([0,1] in/out),
+    super-resolve every prediction image, patch-vote classify it, and collect
+    per-method results: predictions, confidences, accuracy, confusion matrix,
+    SR fidelity (PSNR/SSIM vs HR), and SR wall time. The result dict feeds the
+    cross-model comparison panels (tpusr.viz.dl_viz).
+    """
+    x_lr = np.asarray(x_lr, np.float32)
+    x_hr = np.asarray(x_hr, np.float32)
+    y = np.asarray(y)
+    n = x_lr.shape[0]
+    hr_hw = x_hr.shape[1:3]
+    results: dict[str, dict] = {}
+
+    for name, sr_apply in sr_methods.items():
+        scale = hr_hw[0] // x_lr.shape[1]
+        pipe = FusedSRClassifyPipeline(sr_apply, clf_apply, x_lr.shape[1:3],
+                                       scale, patch, stride)
+        preds, confs, psnrs, ssims = [], [], [], []
+        t0 = time.perf_counter()
+        for s in range(0, n, batch_size):
+            xb = x_lr[s:s + batch_size]
+            hb = x_hr[s:s + batch_size]
+            sr, cls, conf = pipe(xb)
+            preds.append(np.asarray(cls))
+            confs.append(np.asarray(conf))
+            psnrs.append(np.asarray(psnr_fn(jnp.asarray(hb), sr)))
+            ssims.append(np.asarray(ssim_fn(jnp.asarray(hb), sr)))
+        elapsed = time.perf_counter() - t0
+
+        preds = np.concatenate(preds)[:n]
+        confs = np.concatenate(confs)[:n]
+        psnrs = np.concatenate(psnrs)[:n]
+        ssims = np.concatenate(ssims)[:n]
+        num_classes = int(max(2, y.max() + 1))
+        cm = np.zeros((num_classes, num_classes), np.int64)
+        for t, p in zip(y, preds):
+            cm[int(t), int(p)] += 1
+        acc = float((preds == y).mean())
+        correct = preds == y
+        results[name] = {
+            "predictions": preds,
+            "confidences": confs,
+            "accuracy": acc,
+            "confusion_matrix": cm,
+            "psnr_mean": float(psnrs.mean()),
+            "ssim_mean": float(ssims.mean()),
+            "time_sec": elapsed,
+            "mean_confidence": float(confs.mean()),
+            "mean_confidence_correct": float(confs[correct].mean()) if correct.any() else np.nan,
+            "mean_confidence_wrong": float(confs[~correct].mean()) if (~correct).any() else np.nan,
+            "error_rate": 1.0 - acc,
+        }
+        if verbose:
+            print(f"{name}: acc={acc:.4f} psnr={results[name]['psnr_mean']:.2f} "
+                  f"time={elapsed:.2f}s")
+    return results
