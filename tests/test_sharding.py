@@ -1,0 +1,92 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (SURVEY.md §4 item 3):
+data-parallel training steps must compile, execute, and match single-device
+results."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpusr.dist import make_mesh, shard_batch, batch_sharding
+from tpusr.models import SRCNN, EDSR, ESRGANGenerator, ESRGANDiscriminator, VGG19Features
+from tpusr.train import SupervisedSRTrainer, ESRGANTrainer
+
+
+def test_virtual_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("data",)
+
+
+def test_shard_batch_places_on_mesh():
+    mesh = make_mesh()
+    x = np.ones((16, 8, 8, 3), np.float32)
+    xs = shard_batch(mesh, x)
+    assert xs.sharding == batch_sharding(mesh, ndim=4)
+    # each device holds 2 of the 16 rows
+    assert xs.addressable_shards[0].data.shape[0] == 2
+
+
+def test_data_parallel_step_matches_single_device(monkeypatch):
+    rng = np.random.default_rng(0)
+    y = rng.random((16, 12, 12, 3), dtype=np.float32)
+    x = np.roll(y, 1, axis=1)
+
+    single = SupervisedSRTrainer(SRCNN(f1=8, f2=4), learning_rate=1e-3)
+    s1 = single.init_state(x[:1])
+    s1, m1 = single.train_step(s1, jnp.asarray(x), jnp.asarray(y))
+
+    mesh = make_mesh()
+    parallel = SupervisedSRTrainer(SRCNN(f1=8, f2=4), learning_rate=1e-3, mesh=mesh)
+    s8 = parallel.init_state(x[:1])
+    xb, yb = shard_batch(mesh, x, y)
+    s8, m8 = parallel.train_step(s8, xb, yb)
+
+    # identical init (same PRNGKey) -> identical loss and updated params
+    assert abs(float(m1["loss"]) - float(m8["loss"])) < 1e-6
+    for a, b in zip(jax.tree.leaves(jax.device_get(s1.params)),
+                    jax.tree.leaves(jax.device_get(s8.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_gan_step_data_parallel():
+    mesh = make_mesh()
+    rng = np.random.default_rng(1)
+    y = rng.random((8, 16, 16, 3), dtype=np.float32) * 2 - 1
+    x = rng.random((8, 8, 8, 3), dtype=np.float32) * 2 - 1
+
+    gen = ESRGANGenerator(scale_factor=2, growth_channels=4, num_rrdb_blocks=1)
+    disc = ESRGANDiscriminator()
+    vgg = VGG19Features()
+    vgg_params = vgg.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))["params"]
+    trainer = ESRGANTrainer(gen, disc, vgg, vgg_params, mesh=mesh)
+    state = trainer.init_state((8, 8, 3), (16, 16, 3))
+    xb, yb = shard_batch(mesh, x, y)
+    state, metrics = trainer.train_step(state, xb, yb)
+    assert np.isfinite(float(metrics["g_loss"]))
+    assert np.isfinite(float(metrics["d_loss"]))
+    # params stay replicated after the update
+    leaf = jax.tree.leaves(state.g_params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_fused_pipeline_sharded_batch():
+    from tpusr.pipeline import FusedSRClassifyPipeline
+    from tpusr.models import VGG16Classifier
+
+    mesh = make_mesh()
+    sr_model = EDSR(scale_factor=2, num_res_blocks=1)
+    sv = sr_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    clf_model = VGG16Classifier(num_classes=2)
+    cv = clf_model.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)))
+    pipe = FusedSRClassifyPipeline(
+        sr_apply=lambda z: sr_model.apply(sv, z),
+        clf_apply=lambda p: clf_model.apply(cv, p),
+        lr_hw=(16, 16), scale=2, patch=32, stride=16, mesh=mesh)
+
+    lr = np.random.default_rng(2).random((8, 16, 16, 3)).astype(np.float32)
+    sr_plain, cls_plain, conf_plain = pipe(lr)
+    sr_sh, cls_sh, conf_sh = pipe(shard_batch(mesh, lr))
+    np.testing.assert_allclose(np.asarray(sr_plain), np.asarray(sr_sh), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(cls_plain), np.asarray(cls_sh))
