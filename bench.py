@@ -26,7 +26,7 @@ def main():
     from tpusr.models import EDSR, VGG16Classifier
     from tpusr.pipeline.defect_pipeline import FusedSRClassifyPipeline
 
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     lr_hw = (128, 128)
     scale = 4
     dtype = jnp.bfloat16 if os.environ.get("BENCH_BF16", "1") == "1" else jnp.float32

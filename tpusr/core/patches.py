@@ -34,20 +34,38 @@ def patchify(image: jnp.ndarray, patch: int, stride: int) -> jnp.ndarray:
 
     Row-major patch order matches the reference's double loop
     (``SRCNN_model.py:156-160``).
+
+    Fast path (stride | patch — every reference config): pure
+    reshape/slice/stack block assembly, zero FLOPs, bandwidth-bound. The
+    general case is a vmapped dynamic-slice gather. (A conv-patches
+    formulation was 10x slower on TPU: XLA lowers it to a dense conv with a
+    patch-sized identity kernel.)
     """
     h, w, c = image.shape
     nh, nw = patch_grid_size(h, w, patch, stride)
-    out = jax.lax.conv_general_dilated_patches(
-        image[None],
-        filter_shape=(patch, patch),
-        window_strides=(stride, stride),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=jax.lax.Precision.HIGHEST,  # identity gather must be exact
-    )  # (1, nH, nW, C*patch*patch), features ordered (C, ph, pw)
-    out = out.reshape(nh, nw, c, patch, patch)
-    out = jnp.transpose(out, (0, 1, 3, 4, 2))
-    return out.reshape(nh * nw, patch, patch, c)
+
+    if patch % stride == 0:
+        s = stride
+        k = patch // s
+        bh, bw = h // s, w // s
+        usable = image[: bh * s, : bw * s, :]
+        blocks = usable.reshape(bh, s, bw, s, c).transpose(0, 2, 1, 3, 4)
+        # patches[i, j, di*s:(di+1)*s, dj*s:(dj+1)*s] = blocks[i+di, j+dj]
+        rows = []
+        for di in range(k):
+            row = [blocks[di : di + nh, dj : dj + nw] for dj in range(k)]
+            rows.append(jnp.stack(row, axis=3))  # (nh, nw, s, k, s, c)
+        grid = jnp.stack(rows, axis=2)  # (nh, nw, k, s, k, s, c)
+        return grid.reshape(nh * nw, patch, patch, c)
+
+    ii = np.repeat(np.arange(nh) * stride, nw)
+    jj = np.tile(np.arange(nw) * stride, nh)
+    pos = jnp.asarray(np.stack([ii, jj], axis=1))
+
+    def get(ij):
+        return jax.lax.dynamic_slice(image, (ij[0], ij[1], 0), (patch, patch, c))
+
+    return jax.vmap(get)(pos)
 
 
 def _overlap_add_blocks(grid: jnp.ndarray, stride: int) -> jnp.ndarray:
