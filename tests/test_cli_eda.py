@@ -1,0 +1,116 @@
+"""End-to-end smoke tests for the CLI entry points and the EDA pipeline on a
+tiny synthetic dataset — the notebook-replacement layer (L6)."""
+
+import json
+import os
+import pickle
+
+import cv2
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds")
+    hr_dir, lr_dir = root / "HR", root / "LR"
+    hr_dir.mkdir()
+    lr_dir.mkdir()
+    rng = np.random.default_rng(0)
+    imap, cmap = {}, {}
+    for i in range(4):
+        hr = (rng.random((48, 48, 3)) * 255).astype(np.uint8)
+        hr = cv2.GaussianBlur(hr, (3, 3), 1.0)
+        lr = cv2.resize(hr, (24, 24), interpolation=cv2.INTER_AREA)
+        name = f"s_{i:03d}.png"
+        cv2.imwrite(str(hr_dir / name), hr)
+        cv2.imwrite(str(lr_dir / name), lr)
+        imap[name] = "INTER_CUBIC"
+        cmap[name] = i % 2
+    with open(root / "imap.pkl", "wb") as f:
+        pickle.dump(imap, f)
+    with open(root / "cmap.pkl", "wb") as f:
+        pickle.dump(cmap, f)
+    return root
+
+
+def test_cli_classic(tiny_dataset, tmp_path):
+    from tpusr.cli.__main__ import main
+    out = tmp_path / "classic_out"
+    main(["classic", "--hr-dir", str(tiny_dataset / "HR"),
+          "--lr-dir", str(tiny_dataset / "LR"), "--out", str(out),
+          "--fraction", "1.0", "--limit", "2"])
+    data = json.load(open(out / "classic_summary.json"))
+    assert len(data["ranked"]) == 8
+    assert (out / "psnr_ssim_summary.png").exists()
+    assert (out / "algorithm_ranking.png").exists()
+
+
+def test_cli_train_srcnn(tiny_dataset, tmp_path):
+    from tpusr.cli.__main__ import main
+    out = tmp_path / "ckpt"
+    main(["train-srcnn", "--hr-dir", str(tiny_dataset / "HR"),
+          "--lr-dir", str(tiny_dataset / "LR"),
+          "--interp-map", str(tiny_dataset / "imap.pkl"),
+          "--out", str(out), "--epochs", "1", "--batch-size", "8"])
+    metas = [f for f in os.listdir(out) if f.endswith(".meta.json")]
+    assert len(metas) == 1
+    meta = json.load(open(out / metas[0]))
+    assert "psnr" in meta["eval"] and "hr_h" in meta["eval"]
+
+
+def test_cli_train_vgg16(tiny_dataset, tmp_path):
+    from tpusr.cli.__main__ import main
+    out = tmp_path / "ckpt"
+    main(["train-vgg16", "--hr-dir", str(tiny_dataset / "HR"),
+          "--class-map", str(tiny_dataset / "cmap.pkl"),
+          "--out", str(out), "--epochs", "1", "--batch-size", "8",
+          "--patch-size", "32", "--stride", "16"])
+    metas = [f for f in os.listdir(out) if f.endswith(".meta.json")]
+    assert json.load(open(out / metas[0]))["eval"]["accuracy"] >= 0.0
+
+
+def test_cli_pipeline(tiny_dataset, tmp_path):
+    from tpusr.cli.__main__ import main
+    out = tmp_path / "dl"
+    main(["pipeline", "--lr-dir", str(tiny_dataset / "LR"),
+          "--hr-dir", str(tiny_dataset / "HR"),
+          "--class-map", str(tiny_dataset / "cmap.pkl"),
+          "--out", str(out), "--batch-size", "2"])
+    res = json.load(open(out / "pipeline_results.json"))
+    assert "bicubic" in res
+    assert 0.0 <= res["bicubic"]["accuracy"] <= 1.0
+    assert (out / "cls_report_summary.png").exists()
+    assert (out / "sr_confidence_panel.png").exists()
+
+
+def test_eda_pipeline(tiny_dataset, tmp_path):
+    from tpusr.data.eda import run_eda_pipeline
+    out = tmp_path / "eda"
+    df = run_eda_pipeline(str(tiny_dataset / "LR"), str(tiny_dataset / "HR"),
+                          str(out), interp_map_path=str(tiny_dataset / "imap.pkl"))
+    assert len(df) == 4
+    for col in ("psnr", "ssim", "glcm_contrast", "rms_noise_lr", "blocking_hr",
+                "ringing_lr", "edge_diff", "ch0_skew_lr"):
+        assert col in df.columns
+        assert df[col].notna().all(), col
+    for png in ("advanced_global_panel.png", "distributions.png",
+                "artifact_boxplots.png", "correlation_matrix.png",
+                "scatter_relations.png"):
+        assert (out / png).exists(), png
+    assert (out / "eda_metrics.csv").exists()
+    assert len(list((out / "LPIPS_Scenarios").rglob("*.png"))) >= 2
+
+
+def test_glcm_features_properties():
+    """GLCM sanity: uniform image -> contrast 0, homogeneity 1."""
+    from tpusr.data.eda import glcm_features
+    flat = np.full((32, 32), 128, np.uint8)
+    g = glcm_features(flat, levels=64)
+    assert g["glcm_contrast"] == 0.0
+    assert abs(g["glcm_homogeneity"] - 1.0) < 1e-9
+    # high-contrast checkerboard -> large contrast, low homogeneity
+    cb = (np.indices((32, 32)).sum(0) % 2 * 255).astype(np.uint8)
+    g2 = glcm_features(cb, levels=64)
+    assert g2["glcm_contrast"] > 100
+    assert g2["glcm_homogeneity"] < 0.2

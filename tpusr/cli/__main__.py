@@ -1,0 +1,408 @@
+"""tpusr command-line entry points — replace the reference's 7 notebooks (L6).
+
+    python -m tpusr.cli preprocess  --video v.mp4 --hr-dir HR --lr-dir LR ...
+    python -m tpusr.cli classic     --hr-dir HR --lr-dir LR --out results/
+    python -m tpusr.cli train-srcnn --hr-dir HR --lr-dir LR --interp-map m.pkl ...
+    python -m tpusr.cli train-edsr  --hr-dir HR --lr-dir LR ...
+    python -m tpusr.cli train-esrgan --hr-dir HR --lr-dir LR ...
+    python -m tpusr.cli train-vgg16 --hr-dir HR --class-map c.pkl ...
+    python -m tpusr.cli pipeline    --lr-dir LRp --hr-dir HRp --class-map c.pkl ...
+    python -m tpusr.cli eda         --hr-dir HR --lr-dir LR --out eda_results/
+
+Every run-to-completion notebook flow (load -> split(seed 42) -> train ->
+evaluate -> save checkpoint + metrics JSON + figures) is reproduced, with
+orbax checkpoints in place of .h5 and JSON in place of metric pickles.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import sys
+
+
+def _split(x, y, seed=42, test_size=0.2, val_size=0.1):
+    """train/val/test split with the notebooks' seed-42 convention."""
+    from sklearn.model_selection import train_test_split
+
+    x_tr, x_te, y_tr, y_te = train_test_split(x, y, test_size=test_size,
+                                              random_state=seed)
+    rel = val_size / (1.0 - test_size)
+    x_tr, x_va, y_tr, y_va = train_test_split(x_tr, y_tr, test_size=rel,
+                                              random_state=seed)
+    return x_tr, y_tr, x_va, y_va, x_te, y_te
+
+
+def _timestamp():
+    return datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+
+
+def _save_run(out_dir, name, state, history, eval_metrics, tt, mt):
+    from tpusr.train import save_checkpoint
+
+    ts = _timestamp()
+    meta = {
+        "eval": eval_metrics,
+        "history": history,
+        "epoch_time_sec": tt.epoch_times_sec,
+        "memory": mt.as_dict(),
+        "timestamp": ts,
+    }
+    path = save_checkpoint(out_dir, f"{name}_{ts}", state, metadata=meta)
+    print(f"saved {path}")
+    return path
+
+
+def cmd_preprocess(args):
+    from tpusr.data.video import (create_hr_lr_images_from_video,
+                                  create_hr_lr_prediction_images_from_video)
+
+    fn = (create_hr_lr_prediction_images_from_video if args.predictions
+          else create_hr_lr_images_from_video)
+    kwargs = dict(video_path=args.video, hr_dir=args.hr_dir, lr_dir=args.lr_dir,
+                  skip_seconds=args.skip_seconds,
+                  frame_interval_seconds=args.frame_interval,
+                  hr_size=args.hr_size, prefix=args.prefix, seed=args.seed,
+                  max_frames=args.max_frames)
+    if args.predictions:
+        written = fn(class_id=args.class_id,
+                     predictions_class_map_path=args.class_map, **kwargs)
+    else:
+        written = fn(interpolation_map_path=args.interp_map,
+                     class_labels_map_path=args.class_map,
+                     class_id=args.class_id, **kwargs)
+    print(f"wrote {len(written)} HR/LR pairs")
+
+
+def cmd_classic(args):
+    import numpy as np
+    import cv2
+    from tpusr.data.loading import get_all_image_paths
+    from tpusr.classic import run_classic_comparison, CLASSIC_ALGORITHMS
+    from tpusr.classic.harness import RANKING_WEIGHTS
+    from tpusr.viz import (plot_time_memory_panels, plot_psnr_ssim_panels,
+                           plot_speed_quality_tradeoff_3d, plot_error_metrics_grid,
+                           plot_edge_metrics_grid,
+                           plot_frequency_distribution_metrics_grid,
+                           show_algorithm_ranking)
+
+    hr_d = {os.path.basename(p): p for p in get_all_image_paths(args.hr_dir)}
+    lr_d = {os.path.basename(p): p for p in get_all_image_paths(args.lr_dir)}
+    common = sorted(set(hr_d) & set(lr_d))
+    common = common[: int(args.fraction * len(common))]  # notebook: 70%
+    if args.limit:
+        common = common[: args.limit]
+    load = lambda p: cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+    hr_images = [load(hr_d[b]) for b in common]
+    lr_images = [load(lr_d[b]) for b in common]
+    print(f"evaluating {len(common)} HR/LR pairs over {len(CLASSIC_ALGORITHMS)} algorithms")
+
+    summary, ranked, scores, _ = run_classic_comparison(hr_images, lr_images)
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "classic_summary.json"), "w") as f:
+        json.dump({"summary": summary,
+                   "ranked": [[a, s] for a, s in ranked]}, f, indent=2,
+                  default=float)
+
+    colors = {"bilinear": "#4c72b0", "bicubic": "#55a868", "area": "#c44e52",
+              "lanczos": "#8172b2", "ibp": "#ccb974", "nlm": "#64b5cd",
+              "egi": "#8c8c8c", "freq": "#937860"}
+    out = args.out
+    plot_time_memory_panels(summary, CLASSIC_ALGORITHMS, colors,
+                            "Classical SR Profiling: Time & Memory",
+                            os.path.join(out, "time_memory_summary.png"))
+    plot_psnr_ssim_panels(summary, CLASSIC_ALGORITHMS, colors,
+                          "Classical SR: PSNR / SSIM",
+                          os.path.join(out, "psnr_ssim_summary.png"))
+    plot_speed_quality_tradeoff_3d(summary, CLASSIC_ALGORITHMS, colors,
+                                   results_dir=out)
+    plot_error_metrics_grid(summary, CLASSIC_ALGORITHMS, colors, results_dir=out)
+    plot_edge_metrics_grid(summary, CLASSIC_ALGORITHMS, colors, results_dir=out)
+    plot_frequency_distribution_metrics_grid(summary, CLASSIC_ALGORITHMS, colors,
+                                             results_dir=out)
+    show_algorithm_ranking(summary, maximize=["psnr_mean", "ssim_mean"],
+                           minimize=["time_mean", "memory_mean", "mae_mean",
+                                     "rmse_mean", "grad_mse_mean",
+                                     "kl_luma_mean", "kl_color_mean"],
+                           weights=RANKING_WEIGHTS, results_dir=out,
+                           colors_map=colors)
+    for a, s in ranked:
+        print(f"{a}: {s:.4f}")
+
+
+def _load_sr_patches(args, mode, patch, stride, scale):
+    from tpusr.data import load_dataset_as_patches
+
+    if mode == "srcnn":
+        x, y, hr_h, hr_w = load_dataset_as_patches(
+            args.hr_dir, args.lr_dir, mode="srcnn", patch_size=patch,
+            stride=stride, interpolation_map_path=args.interp_map)
+        return x, y, (hr_h, hr_w)
+    x, y = load_dataset_as_patches(args.hr_dir, args.lr_dir, mode="scale",
+                                   patch_size=patch, stride=stride,
+                                   scale_factor=scale)
+    return x, y, None
+
+
+def cmd_train_srcnn(args):
+    from tpusr.config import SRCNNConfig
+    from tpusr.models import SRCNN
+    from tpusr.train import SupervisedSRTrainer
+    from tpusr.dist import make_mesh
+
+    cfg = SRCNNConfig(batch_size=args.batch_size, epochs=args.epochs,
+                      learning_rate=args.lr)
+    x, y, hr_hw = _load_sr_patches(args, "srcnn", cfg.patch_size, cfg.stride, 1)
+    x_tr, y_tr, x_va, y_va, x_te, y_te = _split(x, y)
+    mesh = make_mesh() if args.data_parallel else None
+    trainer = SupervisedSRTrainer(SRCNN(), learning_rate=cfg.learning_rate,
+                                  mesh=mesh)
+    res = trainer.fit(x_tr, y_tr, x_va, y_va, batch_size=cfg.batch_size,
+                      epochs=cfg.epochs, es_patience=cfg.es_patience,
+                      plateau_patience=cfg.plateau_patience)
+    ev = trainer.evaluate(res.state, x_te, y_te, batch_size=cfg.batch_size)
+    print(f"Loss: {ev['loss']:.4f}, PSNR: {ev['psnr']:.2f} dB, SSIM: {ev['ssim']:.4f}")
+    meta_eval = {**ev, "hr_h": hr_hw[0], "hr_w": hr_hw[1]}
+    _save_run(args.out, "SRCNN", res.state, res.history, meta_eval,
+              res.time_tracker, res.memory_tracker)
+
+
+def cmd_train_edsr(args):
+    from tpusr.config import EDSRConfig
+    from tpusr.models import EDSR
+    from tpusr.train import SupervisedSRTrainer
+    from tpusr.dist import make_mesh
+
+    cfg = EDSRConfig(batch_size=args.batch_size, epochs=args.epochs,
+                     learning_rate=args.lr, scale_factor=args.scale)
+    x, y, _ = _load_sr_patches(args, "scale", cfg.patch_size, cfg.stride,
+                               cfg.scale_factor)
+    x_tr, y_tr, x_va, y_va, x_te, y_te = _split(x, y)
+    mesh = make_mesh() if args.data_parallel else None
+    model = EDSR(scale_factor=cfg.scale_factor,
+                 num_res_blocks=cfg.num_res_blocks,
+                 num_filters=cfg.num_filters, res_scaling=cfg.res_scaling)
+    trainer = SupervisedSRTrainer(model, learning_rate=cfg.learning_rate,
+                                  clipnorm=cfg.clipnorm, mesh=mesh)
+    res = trainer.fit(x_tr, y_tr, x_va, y_va, batch_size=cfg.batch_size,
+                      epochs=cfg.epochs, es_patience=cfg.es_patience,
+                      plateau_patience=cfg.plateau_patience)
+    ev = trainer.evaluate(res.state, x_te, y_te, batch_size=cfg.batch_size)
+    print(f"Loss: {ev['loss']:.4f}, PSNR: {ev['psnr']:.2f} dB, SSIM: {ev['ssim']:.4f}")
+    _save_run(args.out, f"EDSR_x{cfg.scale_factor}", res.state, res.history, ev,
+              res.time_tracker, res.memory_tracker)
+
+
+def cmd_train_esrgan(args):
+    import jax
+    import jax.numpy as jnp
+    from tpusr.config import ESRGANConfig
+    from tpusr.models import ESRGANGenerator, ESRGANDiscriminator, VGG19Features
+    from tpusr.models.vgg import load_keras_h5_weights
+    from tpusr.train import ESRGANTrainer
+    from tpusr.dist import make_mesh
+
+    cfg = ESRGANConfig(batch_size=args.batch_size, epochs=args.epochs,
+                       scale_factor=args.scale)
+    x, y, _ = _load_sr_patches(args, "scale", cfg.patch_size, cfg.stride,
+                               cfg.scale_factor)
+    x_tr, y_tr, x_va, y_va, x_te, y_te = _split(x, y)
+
+    gen = ESRGANGenerator(scale_factor=cfg.scale_factor,
+                          growth_channels=cfg.growth_channels,
+                          num_rrdb_blocks=cfg.num_rrdb_blocks)
+    disc = ESRGANDiscriminator()
+    vgg = VGG19Features()
+    hr_patch = cfg.patch_size * cfg.scale_factor
+    vgg_params = vgg.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, hr_patch, hr_patch, 3)))["params"]
+    if args.vgg19_weights:
+        vgg_params = load_keras_h5_weights(vgg_params, args.vgg19_weights, "vgg19")
+
+    mesh = make_mesh() if args.data_parallel else None
+    trainer = ESRGANTrainer(gen, disc, vgg, vgg_params, g_lr=cfg.g_lr,
+                            d_lr=cfg.d_lr, decay_steps=cfg.decay_steps,
+                            decay_rate=cfg.decay_rate, mesh=mesh)
+    res = trainer.fit(x_tr, y_tr, x_va, y_va, epochs=cfg.epochs,
+                      batch_size=cfg.batch_size, save_dir=args.preview_dir)
+    ev = trainer.evaluate(res.state, x_te, y_te, batch_size=cfg.batch_size)
+    print(f"PSNR: {ev['avg_psnr']:.2f}, SSIM: {ev['avg_ssim']:.4f}, "
+          f"G-loss: {ev['avg_g_loss']:.2f}")
+    _save_run(args.out, f"ESRGAN_x{cfg.scale_factor}", res.state,
+              res.epoch_losses, ev, res.time_tracker, res.memory_tracker)
+
+
+def cmd_train_vgg16(args):
+    from tpusr.config import VGG16Config
+    from tpusr.models import VGG16Classifier
+    from tpusr.train import ClassifierTrainer
+    from tpusr.data import load_defects_dataset_as_patches
+    from tpusr.dist import make_mesh
+
+    cfg = VGG16Config(batch_size=args.batch_size, epochs=args.epochs,
+                      patch_size=args.patch_size, stride=args.stride)
+    x, y = load_defects_dataset_as_patches(args.hr_dir,
+                                           patch_size=cfg.patch_size,
+                                           stride=cfg.stride,
+                                           class_map_path=args.class_map)
+    x_tr, y_tr, x_va, y_va, x_te, y_te = _split(x, y)
+    mesh = make_mesh() if args.data_parallel else None
+    pred = None
+    if not cfg.base_trainable:
+        pred = lambda path: path[0] != "vgg16"
+    trainer = ClassifierTrainer(
+        VGG16Classifier(num_classes=cfg.num_classes,
+                        dropout_rate=cfg.dropout_rate,
+                        dense_units=cfg.dense_units),
+        learning_rate=cfg.learning_rate, mesh=mesh, trainable_predicate=pred)
+    res = trainer.fit(x_tr, y_tr, x_va, y_va, batch_size=cfg.batch_size,
+                      epochs=cfg.epochs)
+    ev = trainer.evaluate(res.state, x_te, y_te, batch_size=cfg.batch_size)
+    print(f"Loss: {ev['loss']:.4f}, Accuracy: {ev['accuracy']:.4f}")
+    _save_run(args.out, "VGG16", res.state, res.history, ev,
+              res.time_tracker, res.memory_tracker)
+
+
+def cmd_pipeline(args):
+    """End-to-end LR -> SR (per method) -> classify comparison — the missing
+    defect_detection_pipeline notebook."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from tpusr.data import load_predictions_dataset
+    from tpusr.core.resize import resize
+    from tpusr.models import EDSR, SRCNN, ESRGANGenerator, VGG16Classifier
+    from tpusr.train import restore_checkpoint
+    from tpusr.pipeline import run_defect_detection_comparison
+    from tpusr.viz import plot_classification_reports_panel, plot_confidence_panel
+
+    x_lr, x_hr, y = load_predictions_dataset(args.lr_dir, args.hr_dir,
+                                             args.class_map)
+    scale = x_hr.shape[1] // x_lr.shape[1]
+    hr_hw = x_hr.shape[1:3]
+
+    clf_model = VGG16Classifier(num_classes=2)
+    cv = clf_model.init(jax.random.PRNGKey(1), jnp.zeros((1, 96, 96, 3)))
+    if args.vgg16_ckpt:
+        cv = {"params": restore_checkpoint(os.path.dirname(args.vgg16_ckpt),
+                                           os.path.basename(args.vgg16_ckpt),
+                                           cv["params"])}
+    clf_apply = lambda p: clf_model.apply(cv, p)
+
+    sr_methods = {"bicubic": lambda x: jnp.clip(resize(x, hr_hw, "bicubic"), 0, 1)}
+    if args.edsr_ckpt:
+        m = EDSR(scale_factor=scale)
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 24, 24, 3)))
+        sr_methods["edsr"] = lambda x: m.apply(v, x)
+    results = run_defect_detection_comparison(sr_methods, clf_apply, x_lr, x_hr,
+                                              y, batch_size=args.batch_size)
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "pipeline_results.json"), "w") as f:
+        json.dump({k: {kk: vv for kk, vv in v.items()
+                       if kk not in ("predictions", "confidences",
+                                     "confusion_matrix")}
+                   for k, v in results.items()}, f, indent=2, default=float)
+    names = list(results)
+    plot_classification_reports_panel(
+        y, names, [results[n]["predictions"] for n in names],
+        class_names=["low_z_offset", "high_z_offset"], save_dir=args.out)
+    plot_confidence_panel(y, names, [results[n]["predictions"] for n in names],
+                          [results[n]["confidences"] for n in names],
+                          save_dir=args.out)
+
+
+def cmd_eda(args):
+    from tpusr.data.eda import run_eda_pipeline
+
+    run_eda_pipeline(args.lr_dir, args.hr_dir, args.out,
+                     interp_map_path=args.interp_map, limit=args.limit)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="tpusr")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("preprocess")
+    sp.add_argument("--video", required=True)
+    sp.add_argument("--hr-dir", required=True)
+    sp.add_argument("--lr-dir", required=True)
+    sp.add_argument("--skip-seconds", type=float, default=0.0)
+    sp.add_argument("--frame-interval", type=float, default=1.0)
+    sp.add_argument("--hr-size", type=int, default=None)
+    sp.add_argument("--prefix", default="sample")
+    sp.add_argument("--interp-map", default=None)
+    sp.add_argument("--class-map", default=None)
+    sp.add_argument("--class-id", type=int, default=None)
+    sp.add_argument("--predictions", action="store_true")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--max-frames", type=int, default=None)
+    sp.set_defaults(fn=cmd_preprocess)
+
+    sp = sub.add_parser("classic")
+    sp.add_argument("--hr-dir", required=True)
+    sp.add_argument("--lr-dir", required=True)
+    sp.add_argument("--out", default="classic_algorithms_results")
+    sp.add_argument("--fraction", type=float, default=0.7)
+    sp.add_argument("--limit", type=int, default=None)
+    sp.set_defaults(fn=cmd_classic)
+
+    for name, fn, extra in (
+        ("train-srcnn", cmd_train_srcnn, ("interp_map",)),
+        ("train-edsr", cmd_train_edsr, ("scale",)),
+        ("train-esrgan", cmd_train_esrgan, ("scale", "vgg19_weights", "preview_dir")),
+    ):
+        sp = sub.add_parser(name)
+        sp.add_argument("--hr-dir", required=True)
+        sp.add_argument("--lr-dir", required=True)
+        sp.add_argument("--out", default="checkpoints")
+        sp.add_argument("--batch-size", type=int, default=16)
+        sp.add_argument("--epochs", type=int, default=50)
+        sp.add_argument("--lr", type=float, default=1e-4)
+        sp.add_argument("--data-parallel", action="store_true")
+        if "interp_map" in extra:
+            sp.add_argument("--interp-map", default=None)
+        if "scale" in extra:
+            sp.add_argument("--scale", type=int, default=2)
+        if "vgg19_weights" in extra:
+            sp.add_argument("--vgg19-weights", default=None)
+        if "preview_dir" in extra:
+            sp.add_argument("--preview-dir", default=None)
+        sp.set_defaults(fn=fn)
+
+    sp = sub.add_parser("train-vgg16")
+    sp.add_argument("--hr-dir", required=True)
+    sp.add_argument("--class-map", required=True)
+    sp.add_argument("--out", default="checkpoints")
+    sp.add_argument("--batch-size", type=int, default=32)
+    sp.add_argument("--epochs", type=int, default=50)
+    sp.add_argument("--patch-size", type=int, default=96)
+    sp.add_argument("--stride", type=int, default=48)
+    sp.add_argument("--data-parallel", action="store_true")
+    sp.set_defaults(fn=cmd_train_vgg16)
+
+    sp = sub.add_parser("pipeline")
+    sp.add_argument("--lr-dir", required=True)
+    sp.add_argument("--hr-dir", required=True)
+    sp.add_argument("--class-map", required=True)
+    sp.add_argument("--out", default="DL_results")
+    sp.add_argument("--batch-size", type=int, default=16)
+    sp.add_argument("--vgg16-ckpt", default=None)
+    sp.add_argument("--edsr-ckpt", default=None)
+    sp.set_defaults(fn=cmd_pipeline)
+
+    sp = sub.add_parser("eda")
+    sp.add_argument("--hr-dir", required=True)
+    sp.add_argument("--lr-dir", required=True)
+    sp.add_argument("--out", default="eda_results")
+    sp.add_argument("--interp-map", default=None)
+    sp.add_argument("--limit", type=int, default=None)
+    sp.set_defaults(fn=cmd_eda)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
