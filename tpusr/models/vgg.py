@@ -85,20 +85,16 @@ def load_keras_h5_weights(params: dict, h5_path: str, backbone_key: str) -> dict
     Keras Conv2D kernels are (kh, kw, in, out) — same layout as flax — so the
     copy is direct, keyed by layer name (block{i}_conv{j}).
     """
-    import h5py
+    from tpusr.train.keras_import import keras_layer_weights, _leaf, _layer_of
 
     out = {k: dict(v) if isinstance(v, dict) else v for k, v in params.items()}
     bb = {k: dict(v) for k, v in out[backbone_key].items()}
-    with h5py.File(h5_path, "r") as f:
-        grp = f["model_weights"] if "model_weights" in f else f
-        for lname in list(bb.keys()):
-            if lname not in grp:
-                continue
-            g = grp[lname]
-            # keras nests: layer/layer/kernel:0 or layer/kernel:0
-            inner = g[lname] if lname in g else g
-            kernel = np.asarray(inner["kernel:0"])
-            bias = np.asarray(inner["bias:0"])
-            bb[lname] = {"kernel": jnp.asarray(kernel), "bias": jnp.asarray(bias)}
+    for _lname, ws in keras_layer_weights(h5_path):
+        for wname, arr in ws:
+            layer = _layer_of(wname)
+            if layer in bb and _leaf(wname) == "kernel":
+                bias = next(a for w2, a in ws
+                            if _layer_of(w2) == layer and _leaf(w2) == "bias")
+                bb[layer] = {"kernel": jnp.asarray(arr), "bias": jnp.asarray(bias)}
     out[backbone_key] = bb
     return out

@@ -1,0 +1,195 @@
+"""Keras ``.h5`` checkpoint importers — interop with the reference's saved models.
+
+The reference persists full Keras models (``SRCNN_{ts}.h5``,
+``EDSR_x{s}_{ts}.h5``, ``ESRGAN_generator_x{s}_{ts}.h5``, ``VGG16_{ts}.h5``;
+SURVEY.md §5 checkpoint row). These importers load their weights into the
+matching tpusr flax parameter trees so fp32 logit-parity against the reference
+is testable (BASELINE: identical classifier logits, PSNR/SSIM within 1e-3).
+
+Keras Conv2D kernels are (kh, kw, in, out) and Dense kernels (in, out) — the
+same layouts flax uses, so copies are direct. SRCNN/EDSR use Keras auto-named
+layers, so those map by layer order; ESRGAN and VGG use explicit layer names.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _weights_group(f):
+    return f["model_weights"] if "model_weights" in f else f
+
+
+def _layer_names(f):
+    g = _weights_group(f)
+    names = g.attrs.get("layer_names")
+    if names is not None:
+        return [n.decode() if isinstance(n, bytes) else str(n) for n in names]
+    return list(g.keys())
+
+
+def keras_layer_weights(path: str):
+    """Ordered list of (layer_name, [arrays...]) for layers that have weights."""
+    import h5py
+
+    out = []
+    with h5py.File(path, "r") as f:
+        g = _weights_group(f)
+        for lname in _layer_names(f):
+            if lname not in g:
+                continue
+            grp = g[lname]
+            wnames = grp.attrs.get("weight_names", [])
+            wnames = [w.decode() if isinstance(w, bytes) else str(w) for w in wnames]
+            if not wnames:
+                continue
+            arrays = [np.asarray(grp[w]) for w in wnames]
+            out.append((lname, list(zip(wnames, arrays))))
+    return out
+
+
+def _leaf(wname: str) -> str:
+    """'conv2d/kernel:0' (keras 2) or 'seq/conv2d/kernel' (keras 3) -> 'kernel'."""
+    return wname.split("/")[-1].split(":")[0]
+
+
+def _layer_of(wname: str) -> str:
+    parts = wname.split("/")
+    return parts[-2] if len(parts) >= 2 else ""
+
+
+def _conv_dense_pairs(path):
+    """(kernel, bias) tuples for conv/dense layers, in saved layer order."""
+    pairs = []
+    for _lname, ws in keras_layer_weights(path):
+        kernel = bias = None
+        for wname, arr in ws:
+            if _leaf(wname) == "kernel":
+                kernel = arr
+            elif _leaf(wname) == "bias":
+                bias = arr
+        if kernel is not None:
+            pairs.append((kernel, bias))
+    return pairs
+
+
+def _set(tree, path, kernel, bias):
+    node = tree
+    for k in path[:-1]:
+        node = node[k]
+    leaf = path[-1]
+    want = node[leaf]["kernel"].shape
+    if tuple(kernel.shape) != tuple(want):
+        raise ValueError(f"shape mismatch at {'/'.join(path)}: "
+                         f"h5 {kernel.shape} vs flax {want}")
+    node[leaf] = {"kernel": jnp.asarray(kernel), "bias": jnp.asarray(bias)}
+
+
+def _mutable(tree):
+    if isinstance(tree, dict):
+        return {k: _mutable(v) for k, v in tree.items()}
+    return tree
+
+
+def import_srcnn(params: dict, h5_path: str) -> dict:
+    """SRCNN: 3 convs in order -> conv1/conv2/conv3 (SRCNN_model.py:45-53)."""
+    pairs = _conv_dense_pairs(h5_path)
+    if len(pairs) != 3:
+        raise ValueError(f"expected 3 conv layers, found {len(pairs)}")
+    out = _mutable(params)
+    for i, (k, b) in enumerate(pairs, 1):
+        _set(out, (f"conv{i}",), k, b)
+    return out
+
+
+def import_edsr(params: dict, h5_path: str, num_res_blocks: int = 16,
+                scale_factor: int = 2) -> dict:
+    """EDSR: convs in creation order — head, (res conv1, conv2) x N, body,
+    upsample conv(s), tail (EDSR_model.py:96-125)."""
+    pairs = _conv_dense_pairs(h5_path)
+    n_up = 2 if scale_factor == 4 else 1
+    expected = 1 + 2 * num_res_blocks + 1 + n_up + 1
+    if len(pairs) != expected:
+        raise ValueError(f"expected {expected} conv layers, found {len(pairs)}")
+    out = _mutable(params)
+    it = iter(pairs)
+    _set(out, ("head",), *next(it))
+    for i in range(num_res_blocks):
+        k, b = next(it)
+        _set(out, (f"res{i}", "conv1"), k, b)
+        k, b = next(it)
+        _set(out, (f"res{i}", "conv2"), k, b)
+    _set(out, ("body",), *next(it))
+    for i in range(n_up):
+        _set(out, (f"up{i}",), *next(it))
+    _set(out, ("tail",), *next(it))
+    return out
+
+
+_ESRGAN_ATTN = {"self_attention_trunk": "self_attention_trunk",
+                "self_attention_upsample_0": "self_attention_upsample_0"}
+
+
+def import_esrgan_generator(params: dict, h5_path: str) -> dict:
+    """ESRGAN generator: explicit layer names (ESRGAN_model.py:303-345).
+    initial_conv, rrdb_{i}_dense{j}_conv{k}, trunk_conv, self-attention f/g/h/v,
+    upsample_{i}_conv, final_conv1/final_conv2."""
+    out = _mutable(params)
+    for lname, ws in keras_layer_weights(h5_path):
+        arrays = {_leaf(w): a for w, a in ws}
+        if lname in _ESRGAN_ATTN:
+            # SelfAttention stores its four sub-convs' weights in one layer
+            # group, named <layer>_{f,g,h,v}/kernel
+            sub = {}
+            for wname, arr in ws:
+                tag = _layer_of(wname).rsplit("_", 1)[-1]  # f/g/h/v
+                sub.setdefault(tag, {})[_leaf(wname)] = arr
+            for tag in ("f", "g", "h", "v"):
+                if tag in sub:
+                    _set(out, (lname, tag), sub[tag]["kernel"], sub[tag]["bias"])
+            continue
+        if "kernel" not in arrays:
+            continue
+        k, b = arrays["kernel"], arrays.get("bias")
+        if lname == "initial_conv":
+            _set(out, ("initial_conv",), k, b)
+        elif lname == "trunk_conv":
+            _set(out, ("trunk_conv",), k, b)
+        elif lname.startswith("rrdb_"):
+            # rrdb_{i}_dense{j}_conv{k}
+            stem, convk = lname.rsplit("_", 1)
+            block, densej = stem.rsplit("_", 1)
+            _set(out, (block, densej, convk), k, b)
+        elif lname.startswith("upsample_") and lname.endswith("_conv"):
+            _set(out, (lname,), k, b)
+        elif lname in ("final_conv1", "final_conv2"):
+            _set(out, (lname,), k, b)
+    return out
+
+
+def import_vgg16_classifier(params: dict, h5_path: str) -> dict:
+    """FineTunedVGG16: vgg16 backbone (block{i}_conv{j}) + head Dense 256 +
+    Dense num_classes named 'predictions' (VGG16_model.py:84-97). The keras
+    model nests the VGG16 base as a sub-model layer."""
+    out = _mutable(params)
+    dense_seen = []
+    for lname, ws in keras_layer_weights(h5_path):
+        for wname, arr in ws:
+            leaf = _leaf(wname)
+            layer = _layer_of(wname)
+            if leaf != "kernel":
+                continue
+            bias = next(a for w2, a in ws
+                        if _layer_of(w2) == layer and _leaf(w2) == "bias")
+            if layer.startswith("block") and "_conv" in layer:
+                _set(out, ("vgg16", layer), arr, bias)
+            elif layer == "predictions":
+                _set(out, ("predictions",), arr, bias)
+            elif arr.ndim == 2:
+                dense_seen.append((layer, arr, bias))
+    # the remaining 2-D kernel is the 256-unit head (keras auto-name 'dense')
+    for _layer, k, b in dense_seen:
+        if k.shape == tuple(np.asarray(out["fc1"]["kernel"]).shape):
+            _set(out, ("fc1",), k, b)
+    return out
