@@ -110,13 +110,11 @@ def estimate_sigma(img01: jnp.ndarray) -> jnp.ndarray:
     return med / 0.6744897501960817
 
 
-def _box_mean(x: jnp.ndarray, size: int) -> jnp.ndarray:
-    """Uniform (size x size) mean filter with reflect borders, separable."""
-    p = size // 2
-    xp = jnp.pad(x, ((p, size - 1 - p), (p, size - 1 - p)), mode="reflect")
+def _box_mean_valid(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Uniform (size x size) VALID mean filter, separable: (H+s-1, W+s-1) -> (H, W)."""
     kv = jnp.full((size, 1, 1, 1), 1.0 / size, x.dtype)
     kh = jnp.full((1, size, 1, 1), 1.0 / size, x.dtype)
-    y = xp[None, :, :, None]
+    y = x[None, :, :, None]
     dn = ("NHWC", "HWIO", "NHWC")
     y = jax.lax.conv_general_dilated(y, kv, (1, 1), "VALID", dimension_numbers=dn,
                                      precision=_HI)
@@ -135,21 +133,25 @@ def nl_means_denoise(
     """Fast non-local means on a [0,1] grayscale image.
 
     The skimage ``fast_mode`` formulation: for every search offset the patch
-    distance is a box-filtered squared difference; weights are
-    ``exp(-max(d2 - 2*sigma^2, 0) / h^2)``. Offsets run over the
-    (2*patch_distance+1)^2 window via ``lax.scan`` (half the offsets, applied
-    symmetrically), keeping the kernel compact and compiled once.
+    distance is a box-filtered squared difference computed on the
+    reflect-padded image; weights are ``exp(-max(d2 - 2*sigma^2, 0) / h^2)``.
+    Offsets run over the (2*patch_distance+1)^2 window via ``lax.scan`` —
+    compiled once, identical math to the Pallas kernel
+    (tpusr.core.pallas_nlm), which is the fast TPU path.
     """
     d = patch_distance
+    box = patch_size
+    half_b = box // 2
     x = img01.astype(jnp.float32)
     H, W = x.shape
-    pad = d
+    pad = d + half_b
     xp = jnp.pad(x, ((pad, pad), (pad, pad)), mode="reflect")
+    a0 = pad - half_b
+    x0_ext = jax.lax.dynamic_slice(xp, (a0, a0), (H + box - 1, W + box - 1))
 
-    # Symmetric half of the offset set (skip (0,0); mirror covers the rest).
-    offs = [(dy, dx) for dy in range(-d, d + 1) for dx in range(-d, d + 1)]
-    half = [o for o in offs if (o[0] > 0) or (o[0] == 0 and o[1] > 0)]
-    offs_arr = jnp.asarray(np.array(half, dtype=np.int32))
+    offs = [(dy, dx) for dy in range(-d, d + 1) for dx in range(-d, d + 1)
+            if (dy, dx) != (0, 0)]
+    offs_arr = jnp.asarray(np.array(offs, dtype=np.int32))
 
     sig2 = jnp.asarray(sigma, jnp.float32) ** 2
     h2 = jnp.asarray(h, jnp.float32) ** 2
@@ -157,19 +159,12 @@ def nl_means_denoise(
     def body(carry, off):
         num, den = carry
         dy, dx = off[0], off[1]
-        shifted = jax.lax.dynamic_slice(xp, (pad + dy, pad + dx), (H, W))
-        diff2 = (x - shifted) ** 2
-        d2 = _box_mean(diff2, patch_size)
+        xs_ext = jax.lax.dynamic_slice(xp, (a0 + dy, a0 + dx),
+                                       (H + box - 1, W + box - 1))
+        d2 = _box_mean_valid((x0_ext - xs_ext) ** 2, box)
         w = jnp.exp(-jnp.maximum(d2 - 2.0 * sig2, 0.0) / jnp.maximum(h2, 1e-12))
-        # symmetric contribution: pixel p sees q=p+off with weight w(p),
-        # and q sees p with the same patch distance evaluated at q.
-        shifted_back = jax.lax.dynamic_slice(xp, (pad - dy, pad - dx), (H, W))
-        w_back = jax.lax.dynamic_slice(
-            jnp.pad(w, ((pad, pad), (pad, pad)), mode="reflect"),
-            (pad - dy, pad - dx), (H, W))
-        num = num + w * shifted + w_back * shifted_back
-        den = den + w + w_back
-        return (num, den), None
+        shifted = jax.lax.dynamic_slice(xp, (pad + dy, pad + dx), (H, W))
+        return (num + w * shifted, den + w), None
 
     num0 = x.astype(jnp.float32)  # central pixel, weight 1
     den0 = jnp.ones_like(x)
