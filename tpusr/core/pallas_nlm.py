@@ -25,47 +25,54 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _nlm_kernel(x_ref, p_ref, out_ref, num_ref, den_ref, d_ref, row_ref,
-                *, H, W, pad, box, d):
-    """Lane-dim (dx) offsets are statically unrolled (Mosaic requires static
-    lane slicing); sublane-dim (dy) offsets run in a fori_loop with a dynamic
-    sublane start. The (0,0) offset falls out of the patch formula with w=1 —
-    exactly the reference's center-pixel weight — so no special case."""
+def _nlm_kernel(dy_ref, dx_ref, x_ref, p_ref, out_ref, num_ref, den_ref,
+                d_ref, row_ref, *, H, W, pad, box, d):
+    """One fori_loop over the 169-offset table. Mosaic forbids unaligned
+    dynamic slicing of tiled dims, so each offset is realized as two dynamic
+    circular rotates (``pltpu.roll``) of the whole padded array followed by
+    static slices; |dy|,|dx| <= d < pad, so wrapped rows/cols never reach the
+    windows in use. The (0,0) offset is skipped — the center pixel carries
+    weight 1 in the accumulator init, matching the reference/skimage."""
     half = box // 2
     a0 = pad - half  # top-left of the box-extended window at offset 0
 
-    num_ref[:] = jnp.zeros((H, W), jnp.float32)
-    den_ref[:] = jnp.zeros((H, W), jnp.float32)
+    center = x_ref[pad:pad + H, pad:pad + W]
+    num_ref[:] = center
+    den_ref[:] = jnp.ones((H, W), jnp.float32)
 
     sig2 = p_ref[0, 0]           # sigma^2
     inv_h2 = p_ref[0, 1]         # 1 / h^2
 
     x0 = x_ref[a0:a0 + H + box - 1, a0:a0 + W + box - 1]
+    n_off = dy_ref.shape[0]
 
-    # Fully static unroll: Mosaic requires static lane slices and 8-aligned
-    # dynamic sublane starts, so both offset loops unroll at trace time
-    # ((2d+1)^2 = 169 iterations of pure VPU work, all resident in VMEM).
-    for dy in range(-d, d + 1):
-        for dx in range(-d, d + 1):
-            xs = x_ref[a0 + dy:a0 + dy + H + box - 1,
-                       a0 + dx:a0 + dx + W + box - 1]
-            d_ref[:] = (x0 - xs) * (x0 - xs)
+    def body(i, _):
+        # dy_ref/dx_ref hold (-offset) mod dim: Mosaic miscompiles negative
+        # dynamic axis-0 rolls followed by unaligned slices, so the host
+        # precomputes the equivalent non-negative rotate amounts.
+        dy = dy_ref[i]
+        dx = dx_ref[i]
+        rolled = pltpu.roll(pltpu.roll(x_ref[:], dy, axis=0), dx, axis=1)
+        xs = rolled[a0:a0 + H + box - 1, a0:a0 + W + box - 1]
+        d_ref[:] = (x0 - xs) * (x0 - xs)
 
-            acc = d_ref[0:H, :]
-            for u in range(1, box):
-                acc = acc + d_ref[u:u + H, :]
-            row_ref[:] = acc
+        acc = d_ref[0:H, :]
+        for u in range(1, box):
+            acc = acc + d_ref[u:u + H, :]
+        row_ref[:] = acc
 
-            box_sum = row_ref[:, 0:W]
-            for v in range(1, box):
-                box_sum = box_sum + row_ref[:, v:v + W]
-            d2 = box_sum * (1.0 / (box * box))
+        box_sum = row_ref[:, 0:W]
+        for v in range(1, box):
+            box_sum = box_sum + row_ref[:, v:v + W]
+        d2 = box_sum * (1.0 / (box * box))
 
-            w = jnp.exp(-jnp.maximum(d2 - 2.0 * sig2, 0.0) * inv_h2)
-            shifted = x_ref[pad + dy:pad + dy + H, pad + dx:pad + dx + W]
-            num_ref[:] = num_ref[:] + w * shifted
-            den_ref[:] = den_ref[:] + w
+        w = jnp.exp(-jnp.maximum(d2 - 2.0 * sig2, 0.0) * inv_h2)
+        shifted = rolled[pad:pad + H, pad:pad + W]
+        num_ref[:] = num_ref[:] + w * shifted
+        den_ref[:] = den_ref[:] + w
+        return 0
 
+    jax.lax.fori_loop(0, n_off, body, 0)
     out_ref[:] = num_ref[:] / den_ref[:]
 
 
@@ -85,16 +92,27 @@ def nlm_denoise_pallas(img01: jnp.ndarray, sigma, h,
     d = patch_distance
     pad = d + box // 2
     x = jnp.pad(img01.astype(jnp.float32), pad, mode="reflect")
+    # dynamic rotates need tile-aligned operands: pad to (8k, 128k) with
+    # trailing zeros (content sits top-left; the rolled windows in use never
+    # read past row/col H+2*pad-1, see kernel docstring)
+    ah = -(-x.shape[0] // 8) * 8
+    aw = -(-x.shape[1] // 128) * 128
+    x = jnp.pad(x, ((0, ah - x.shape[0]), (0, aw - x.shape[1])))
 
+    offs = np.asarray([(dy, dx) for dy in range(-d, d + 1)
+                       for dx in range(-d, d + 1) if (dy, dx) != (0, 0)],
+                      dtype=np.int32)
+    # non-negative rotate amounts (see kernel body comment)
+    dy = jnp.asarray((-offs[:, 0]) % ah, jnp.int32)
+    dx = jnp.asarray((-offs[:, 1]) % aw, jnp.int32)
     sig2 = jnp.asarray(sigma, jnp.float32) ** 2
     inv_h2 = 1.0 / jnp.maximum(jnp.asarray(h, jnp.float32) ** 2, 1e-12)
     p = jnp.stack([sig2, inv_h2]).reshape(1, 2)
 
     kernel = functools.partial(_nlm_kernel, H=H, W=W, pad=pad, box=box, d=d)
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
-        interpret=interpret,  # CPU tests run the kernel interpreted
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # dy/dx offset tables land in SMEM
+        grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),         # padded image
             pl.BlockSpec(memory_space=pltpu.SMEM),         # (1,2) params
@@ -106,4 +124,10 @@ def nlm_denoise_pallas(img01: jnp.ndarray, sigma, h,
             pltpu.VMEM((H + box - 1, W + box - 1), jnp.float32),  # diff^2
             pltpu.VMEM((H, W + box - 1), jnp.float32),     # row sums
         ],
-    )(x, p)
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
+        interpret=interpret,  # CPU tests run the kernel interpreted
+        grid_spec=grid_spec,
+    )(dy, dx, x, p)
