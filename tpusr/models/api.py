@@ -1,0 +1,408 @@
+"""Reference-shaped lifecycle facades.
+
+The reference exposes one class per model with a uniform contract —
+``setup_model`` -> ``fit`` -> ``evaluate`` -> ``super_resolve_image`` /
+``classify_defects_method`` -> ``save`` (``SRCNN_model.py``, ``EDSR_model.py``,
+``ESRGAN_model.py``, ``VGG16_model.py``). These facades present that exact
+surface over the tpusr functional core, so reference users can switch without
+relearning the API. Checkpoints: ``from_pretrained`` accepts either a tpusr
+orbax directory or a reference Keras ``.h5`` (imported weight-for-weight).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpusr.config import RANDOM_SEED
+from tpusr.models.srcnn import SRCNN
+from tpusr.models.edsr import EDSR as EDSRModule
+from tpusr.models.esrgan import ESRGANGenerator, ESRGANDiscriminator
+from tpusr.models.vgg import VGG16Classifier, VGG19Features
+from tpusr.pipeline.inference import srcnn_super_resolve, super_resolve_image
+from tpusr.pipeline.defect_pipeline import classify_defects
+from tpusr.train.trainer import SupervisedSRTrainer, ClassifierTrainer
+from tpusr.train.gan import ESRGANTrainer
+from tpusr.train.checkpoint import save_checkpoint, restore_checkpoint
+
+
+def _is_h5(path):
+    return isinstance(path, str) and path.endswith(".h5")
+
+
+class SRCNNModel:
+    """SRCNN lifecycle parity with ``SRCNN_model.py:18-260``."""
+
+    def __init__(self, mesh=None):
+        self.module = SRCNN()
+        self.trainer = None
+        self.state = None
+        self.mesh = mesh
+        self._trained = False
+
+    def setup_model(self, input_shape=(24, 24, 3), learning_rate=1e-4,
+                    from_pretrained=False, pretrained_path=None):
+        self.trainer = SupervisedSRTrainer(self.module,
+                                           learning_rate=learning_rate,
+                                           mesh=self.mesh)
+        sample = jnp.zeros((1,) + tuple(input_shape), jnp.float32)
+        self.state = self.trainer.init_state(sample,
+                                             jax.random.PRNGKey(RANDOM_SEED))
+        if from_pretrained:
+            if pretrained_path is None or not os.path.exists(pretrained_path):
+                raise FileNotFoundError(
+                    f"Pretrained model file not found at {pretrained_path}")
+            if _is_h5(pretrained_path):
+                from tpusr.train.keras_import import import_srcnn
+                params = import_srcnn(self.state.params, pretrained_path)
+                self.state = self.state.replace(params=params)
+            else:
+                self.state = restore_checkpoint(
+                    os.path.dirname(pretrained_path) or ".",
+                    os.path.basename(pretrained_path), self.state)
+            self._trained = True
+
+    def fit(self, X_train, Y_train, X_val, Y_val, batch_size=16, epochs=50):
+        if self.trainer is None:
+            raise ValueError("Model has not been set up.")
+        res = self.trainer.fit(X_train, Y_train, X_val, Y_val,
+                               batch_size=batch_size, epochs=epochs,
+                               es_patience=3, plateau_patience=2)
+        self.state = res.state
+        self._trained = True
+        return res.history, res.time_tracker, res.memory_tracker
+
+    def evaluate(self, X_test, Y_test):
+        if not self._trained:
+            raise RuntimeError("Model has not been trained.")
+        ev = self.trainer.evaluate(self.state, X_test, Y_test)
+        print(f"Loss: {ev['loss']:.4f}, PSNR: {ev['psnr']:.2f} dB, "
+              f"SSIM: {ev['ssim']:.4f}")
+        return [ev["loss"], ev["psnr"], ev["ssim"]]
+
+    def super_resolve_image(self, lr_img, hr_h, hr_w, patch_size=33, stride=14,
+                            interpolation="bicubic"):
+        if not self._trained:
+            raise RuntimeError("Model has not been trained.")
+        apply_fn = lambda p: self.module.apply({"params": self.state.params}, p)
+        return srcnn_super_resolve(apply_fn, lr_img, hr_h, hr_w,
+                                   patch_size=patch_size, stride=stride,
+                                   interpolation=interpolation)
+
+    def save(self, directory, timestamp):
+        if not self._trained:
+            raise RuntimeError("Cannot save an untrained model.")
+        if not directory:
+            raise ValueError("Directory path must be provided.")
+        path = save_checkpoint(directory, f"SRCNN_{timestamp}", self.state)
+        print(f"Model saved to {path}")
+        return path
+
+
+class EDSR:
+    """EDSR lifecycle parity with ``EDSR_model.py:23-330``."""
+
+    def __init__(self, mesh=None):
+        self.module = None
+        self.trainer = None
+        self.state = None
+        self.scale_factor = None
+        self.mesh = mesh
+        self.trained = False
+
+    def setup_model(self, scale_factor=2, channels=3, num_res_blocks=16,
+                    num_filters=64, res_scaling=0.1, learning_rate=1e-4,
+                    loss="mean_squared_error", from_pretrained=False,
+                    pretrained_path=None):
+        self.scale_factor = scale_factor
+        self.module = EDSRModule(scale_factor=scale_factor, channels=channels,
+                                 num_res_blocks=num_res_blocks,
+                                 num_filters=num_filters,
+                                 res_scaling=res_scaling)
+        # the reference compiles MSE regardless of the loss arg (EDSR_model.py:137)
+        self.trainer = SupervisedSRTrainer(self.module,
+                                           learning_rate=learning_rate,
+                                           clipnorm=1.0, mesh=self.mesh,
+                                           loss="mse")
+        sample = jnp.zeros((1, 24, 24, channels), jnp.float32)
+        self.state = self.trainer.init_state(sample,
+                                             jax.random.PRNGKey(RANDOM_SEED))
+        if from_pretrained:
+            if pretrained_path is None or not os.path.exists(pretrained_path):
+                raise FileNotFoundError(
+                    f"Pretrained model file not found at {pretrained_path}")
+            if _is_h5(pretrained_path):
+                from tpusr.train.keras_import import import_edsr
+                params = import_edsr(self.state.params, pretrained_path,
+                                     num_res_blocks=num_res_blocks,
+                                     scale_factor=scale_factor)
+                self.state = self.state.replace(params=params)
+            else:
+                self.state = restore_checkpoint(
+                    os.path.dirname(pretrained_path) or ".",
+                    os.path.basename(pretrained_path), self.state)
+            self.trained = True
+
+    def fit(self, X_train, Y_train, X_val, Y_val, batch_size=16, epochs=300):
+        if self.module is None:
+            raise ValueError("Model is not built yet.")
+        res = self.trainer.fit(X_train, Y_train, X_val, Y_val,
+                               batch_size=batch_size, epochs=epochs,
+                               es_patience=5, plateau_patience=3)
+        self.state = res.state
+        self.trained = True
+        return res.history, res.time_tracker, res.memory_tracker
+
+    def evaluate(self, X_test, Y_test):
+        if not self.trained:
+            raise RuntimeError("Model has not been trained.")
+        ev = self.trainer.evaluate(self.state, X_test, Y_test)
+        print(f"Loss: {ev['loss']:.4f}, PSNR: {ev['psnr']:.2f} dB, "
+              f"SSIM: {ev['ssim']:.4f}")
+        return [ev["loss"], ev["psnr"], ev["ssim"]]
+
+    def super_resolve_image(self, lr_img, patch_size_lr=48, stride=24):
+        if not self.trained:
+            raise RuntimeError("Model has not been trained.")
+        if self.scale_factor is None:
+            raise ValueError("scale_factor is not set. Call setup_model first.")
+        apply_fn = lambda p: self.module.apply({"params": self.state.params}, p)
+        return super_resolve_image(apply_fn, lr_img, patch_size_lr=patch_size_lr,
+                                   stride=stride, scale=self.scale_factor)
+
+    def save(self, directory, timestamp):
+        if not self.trained:
+            raise RuntimeError("Cannot save an untrained model.")
+        if not directory:
+            raise ValueError("Directory path must be provided.")
+        path = save_checkpoint(directory,
+                               f"EDSR_x{self.scale_factor}_{timestamp}",
+                               self.state)
+        print(f"Model saved to {path}")
+        return path
+
+
+class ESRGAN:
+    """ESRGAN lifecycle parity with ``ESRGAN_model.py:81-996``."""
+
+    def __init__(self, mesh=None):
+        self.generator = None
+        self.discriminator = None
+        self.vgg_model = None
+        self.trainer = None
+        self.state = None
+        self.scale_factor = None
+        self.mesh = mesh
+        self.trained = False
+
+    def setup_model(self, scale_factor=2, growth_channels=32,
+                    num_rrdb_blocks=23, input_shape=(24, 24, 3),
+                    output_shape=(48, 48, 3), from_trained=False,
+                    generator_pretrained_path=None,
+                    discriminator_pretrained_path=None,
+                    vgg19_weights_path=None):
+        self.scale_factor = scale_factor
+        self.generator = ESRGANGenerator(scale_factor=scale_factor,
+                                         growth_channels=growth_channels,
+                                         num_rrdb_blocks=num_rrdb_blocks)
+        self.discriminator = ESRGANDiscriminator()
+        self.vgg_model = VGG19Features()
+        vgg_params = self.vgg_model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1,) + tuple(output_shape)))["params"]
+        if vgg19_weights_path:
+            from tpusr.models.vgg import load_keras_h5_weights
+            vgg_params = load_keras_h5_weights(vgg_params, vgg19_weights_path,
+                                               "vgg19")
+        self.trainer = ESRGANTrainer(self.generator, self.discriminator,
+                                     self.vgg_model, vgg_params,
+                                     mesh=self.mesh)
+        self.state = self.trainer.init_state(input_shape, output_shape,
+                                             jax.random.PRNGKey(RANDOM_SEED))
+        if from_trained:
+            if (generator_pretrained_path is None
+                    or not os.path.exists(generator_pretrained_path)):
+                raise FileNotFoundError("Generator pretrained path does not "
+                                        f"exist: {generator_pretrained_path}")
+            if _is_h5(generator_pretrained_path):
+                from tpusr.train.keras_import import import_esrgan_generator
+                g_params = import_esrgan_generator(self.state.g_params,
+                                                   generator_pretrained_path)
+                self.state = self.state.replace(g_params=g_params)
+            else:
+                self.state = restore_checkpoint(
+                    os.path.dirname(generator_pretrained_path) or ".",
+                    os.path.basename(generator_pretrained_path), self.state)
+            self.trained = True
+
+    def fit(self, X_train=None, Y_train=None, X_val=None, Y_val=None,
+            epochs=100, batch_size=16, steps_per_epoch=None, normalize=True,
+            save_dir=None):
+        if X_train is None or Y_train is None:
+            raise ValueError("Must provide (X_train, Y_train)")
+        res = self.trainer.fit(X_train, Y_train, X_val, Y_val, epochs=epochs,
+                               batch_size=batch_size,
+                               steps_per_epoch=steps_per_epoch,
+                               normalize=normalize, save_dir=save_dir,
+                               state=self.state)
+        self.state = res.state
+        self.trained = True
+        return res.epoch_losses, res.time_tracker, res.memory_tracker
+
+    def evaluate(self, X_test, Y_test, batch_size=16):
+        if not self.trained:
+            raise RuntimeError("Model has not been trained.")
+        return self.trainer.evaluate(self.state, X_test, Y_test,
+                                     batch_size=batch_size)
+
+    def super_resolve_image(self, lr_img, patch_size_lr=48, stride=24,
+                            batch_size=16):
+        if not self.trained:
+            raise RuntimeError("Model has not been trained or loaded.")
+        apply_fn = lambda p: self.generator.apply(
+            {"params": self.state.g_params}, p)
+        return super_resolve_image(apply_fn, lr_img, patch_size_lr=patch_size_lr,
+                                   stride=stride, scale=self.scale_factor,
+                                   normalize_pm1=True)
+
+    def save(self, directory, timestamp):
+        if not self.trained:
+            raise RuntimeError("Cannot save an untrained model.")
+        path = save_checkpoint(
+            directory, f"ESRGAN_x{self.scale_factor}_{timestamp}", self.state)
+        print(f"Generator+discriminator state saved to {path}")
+        return path
+
+
+class FineTunedVGG16:
+    """VGG16 defect-classifier lifecycle parity with ``VGG16_model.py:16-281``."""
+
+    def __init__(self, mesh=None):
+        self.module = None
+        self.trainer = None
+        self.state = None
+        self.input_shape = None
+        self.mesh = mesh
+        self.trained = False
+
+    def setup_model(self, input_shape=(128, 128, 3), num_classes=2,
+                    train_last_n_layers=4, base_trainable=False,
+                    dropout_rate=0.2, l2_reg=0.0, learning_rate=1e-3,
+                    loss="sparse_categorical_crossentropy",
+                    from_pretrained=False, pretrained_path=None,
+                    imagenet_weights_path=None):
+        assert input_shape[-1] == 3, "Input must have 3 channels (RGB)."
+        self.input_shape = tuple(input_shape)
+        self.module = VGG16Classifier(num_classes=num_classes,
+                                      dropout_rate=dropout_rate)
+        pred = None
+        if not base_trainable:
+            pred = lambda path: path[0] != "vgg16"
+        elif train_last_n_layers > 0:
+            # unfreeze the last N backbone conv layers (VGG16_model.py:79-82)
+            names = [f"block{b}_conv{c}"
+                     for b, n, _ in ((1, 2, 0), (2, 2, 0), (3, 3, 0),
+                                     (4, 3, 0), (5, 3, 0))
+                     for c in range(1, n + 1)]
+            trainable = set(names[-train_last_n_layers:])
+            pred = lambda path: (path[0] != "vgg16" or path[1] in trainable)
+        self.trainer = ClassifierTrainer(self.module,
+                                         learning_rate=learning_rate,
+                                         mesh=self.mesh,
+                                         trainable_predicate=pred)
+        sample = jnp.zeros((1,) + self.input_shape, jnp.float32)
+        self.state = self.trainer.init_state(sample,
+                                             jax.random.PRNGKey(RANDOM_SEED))
+        if imagenet_weights_path:
+            from tpusr.models.vgg import load_keras_h5_weights
+            params = load_keras_h5_weights(self.state.params,
+                                           imagenet_weights_path, "vgg16")
+            self.state = self.state.replace(params=params)
+        if from_pretrained:
+            if pretrained_path is None or not os.path.isfile(pretrained_path):
+                raise FileNotFoundError(
+                    f"Pretrained model file not found at {pretrained_path}")
+            if _is_h5(pretrained_path):
+                from tpusr.train.keras_import import import_vgg16_classifier
+                params = import_vgg16_classifier(self.state.params,
+                                                 pretrained_path)
+                self.state = self.state.replace(params=params)
+            else:
+                self.state = restore_checkpoint(
+                    os.path.dirname(pretrained_path) or ".",
+                    os.path.basename(pretrained_path), self.state)
+            self.trained = True
+
+    def fit(self, X_train, y_train, X_val, y_val, batch_size=32, epochs=50,
+            use_augmentation=True):
+        if self.module is None:
+            raise ValueError("Model is not built yet.")
+        if use_augmentation:
+            X_train, y_train = augment_classification_set(X_train, y_train)
+        res = self.trainer.fit(X_train, y_train, X_val, y_val,
+                               batch_size=batch_size, epochs=epochs)
+        self.state = res.state
+        self.trained = True
+        return res.history
+
+    def evaluate(self, X_test, y_test):
+        if not self.trained:
+            raise RuntimeError("Model has not been trained.")
+        ev = self.trainer.evaluate(self.state, X_test, y_test)
+        print(f"Loss: {ev['loss']:.4f}, Accuracy: {ev['accuracy']:.4f}")
+        return [ev["loss"], ev["accuracy"]]
+
+    def classify_defects_method(self, image, patch_size=None, stride=None,
+                                batch_size=32):
+        if self.module is None:
+            raise ValueError("Model is not built yet.")
+        if image is None:
+            raise ValueError("image must be provided")
+        img = np.asarray(image)
+        if img.ndim != 3 or img.shape[2] != 3:
+            raise ValueError("image must be HxWx3 RGB array")
+        if patch_size is None:
+            patch_size = int(self.input_shape[0])
+        clf = lambda p: self.module.apply({"params": self.state.params}, p)
+        return classify_defects(clf, img, patch=patch_size, stride=stride)
+
+    def save(self, directory, timestamp):
+        if not self.trained:
+            raise RuntimeError("Cannot save an untrained model.")
+        path = save_checkpoint(directory, f"VGG16_{timestamp}", self.state)
+        print(f"Model saved to {path}")
+        return path
+
+
+def augment_classification_set(x, y, seed=RANDOM_SEED):
+    """One-shot augmentation pass mirroring the reference's ImageDataGenerator
+    settings (VGG16_model.py:129-134): rotation +-20 deg, width/height shift
+    +-20%, horizontal flip. Returns the original set plus one augmented copy."""
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    x = np.asarray(x, np.float32)
+    n, h, w, c = x.shape
+
+    angles = rng.uniform(-20, 20, n) * np.pi / 180.0
+    tx = rng.uniform(-0.2, 0.2, n) * w
+    ty = rng.uniform(-0.2, 0.2, n) * h
+    flips = rng.random(n) < 0.5
+
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+
+    out = np.empty_like(x)
+    for i in range(n):
+        ca, sa = np.cos(angles[i]), np.sin(angles[i])
+        sx = ca * (xx - cx) + sa * (yy - cy) + cx - tx[i]
+        sy = -sa * (xx - cx) + ca * (yy - cy) + cy - ty[i]
+        sxi = np.clip(np.round(sx).astype(int), 0, w - 1)
+        syi = np.clip(np.round(sy).astype(int), 0, h - 1)
+        img = x[i, syi, sxi]
+        if flips[i]:
+            img = img[:, ::-1]
+        out[i] = img
+    return np.concatenate([x, out]), np.concatenate([y, y])
