@@ -72,12 +72,13 @@ class ESRGANTrainer:
     def __init__(self, generator, discriminator, vgg_features, vgg_params,
                  g_lr=1e-4, d_lr=1e-5, decay_steps=10000, decay_rate=0.5,
                  adv_weight=1.0, perc_weight=1.0, pixel_weight=100.0,
-                 spec_weight=1.0, mesh=None):
+                 spec_weight=1.0, mesh=None, remat: bool = False):
         self.generator = generator
         self.discriminator = discriminator
         self.vgg_features = vgg_features
         self.vgg_params = vgg_params
         self.mesh = mesh
+        self.remat = remat  # jax.checkpoint the G forward in the G-loss
         self.weights = (adv_weight, perc_weight, pixel_weight, spec_weight)
         self.g_sched = optax.exponential_decay(g_lr, decay_steps, decay_rate,
                                                staircase=True)
@@ -116,7 +117,10 @@ class ESRGANTrainer:
 
     def g_loss_components(self, g_params, d_params, d_spectral, lr, hr):
         """All four generator loss terms (shared by train/val/eval paths)."""
-        fake = self.generator.apply({"params": g_params}, lr)
+        g_fwd = lambda p, z: self.generator.apply({"params": p}, z)
+        if self.remat:
+            g_fwd = jax.checkpoint(g_fwd)
+        fake = g_fwd(g_params, lr)
         d_fake = self.discriminator.apply(
             {"params": d_params, "spectral": d_spectral}, fake)
         adv = _bce(jnp.ones_like(d_fake), d_fake)

@@ -56,12 +56,13 @@ class SupervisedSRTrainer:
     """MSE regression trainer with PSNR/SSIM metrics (SRCNN/EDSR semantics)."""
 
     def __init__(self, model, learning_rate=1e-4, clipnorm=None, mesh=None,
-                 loss: str = "mse"):
+                 loss: str = "mse", remat: bool = False):
         self.model = model
         self.base_lr = learning_rate
         self.clipnorm = clipnorm
         self.mesh = mesh
         self.loss_name = loss
+        self.remat = remat  # jax.checkpoint the forward: trade FLOPs for memory
         self._build_steps()
 
     # ---- functional pieces -------------------------------------------------
@@ -92,9 +93,13 @@ class SupervisedSRTrainer:
         clipnorm = self.clipnorm
         loss_fn_inner = self._loss
 
+        fwd = lambda params, x: model.apply({"params": params}, x)
+        if self.remat:
+            fwd = jax.checkpoint(fwd)
+
         def train_step(state: TrainState, x, y):
             def loss_fn(params):
-                pred = model.apply({"params": params}, x)
+                pred = fwd(params, x)
                 loss = loss_fn_inner(pred, y)
                 return loss, pred
 
