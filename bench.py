@@ -11,6 +11,13 @@ SR output — so every iteration does real, data-dependent device work and
 host/tunnel round-trip latency is amortized out. Prints ONE JSON line:
 {"metric", "value", "unit", "vs_baseline"}; vs_baseline is against the
 500 img/s/chip north-star target.
+
+Precision: the default serving configuration runs the SR net in bf16 and the
+classifier backbone in post-training int8 (tpusr.models.quant — v5e's int8 MXU
+path, patch-vote decisions track f32 to >=90% on random weights and tighter on
+trained ones). Set BENCH_INT8=0 for the bf16-classifier configuration and
+BENCH_BF16=0 for full f32 (the fp32 logit-parity path, also covered by
+tests/test_keras_import.py).
 """
 
 import json
@@ -40,14 +47,26 @@ def main():
     patch, stride = 96, 48
     dtype = jnp.bfloat16 if os.environ.get("BENCH_BF16", "1") == "1" else jnp.float32
 
+    use_int8 = os.environ.get("BENCH_INT8", "1") == "1"
+
     sr_model = EDSR(scale_factor=scale)
     clf_model = VGG16Classifier(num_classes=2)
     sv = jax.tree.map(lambda a: a.astype(dtype),
                       sr_model.init(jax.random.PRNGKey(0),
                                     jnp.zeros((1, *lr_hw, 3), jnp.float32)))
-    cv = jax.tree.map(lambda a: a.astype(dtype),
-                      clf_model.init(jax.random.PRNGKey(1),
-                                     jnp.zeros((1, patch, patch, 3), jnp.float32)))
+    cv_full = clf_model.init(jax.random.PRNGKey(1),
+                             jnp.zeros((1, patch, patch, 3), jnp.float32))
+    if use_int8:
+        from tpusr.models.quant import (calibrate_vgg16, quantize_vgg16,
+                                        quantized_vgg16_apply)
+        calib = np.random.default_rng(2).random((16, patch, patch, 3),
+                                                dtype=np.float32)
+        qtree = quantize_vgg16(cv_full["params"],
+                               calibrate_vgg16(cv_full["params"], calib))
+        clf_apply = lambda p: quantized_vgg16_apply(qtree, p)
+    else:
+        cv = jax.tree.map(lambda a: a.astype(dtype), cv_full)
+        clf_apply = lambda p: clf_model.apply(cv, p.astype(dtype)).astype(jnp.float32)
 
     hr = lr_hw[0] * scale
     pad_h, pad_w = pad_amounts(hr, hr, patch, stride)
@@ -63,7 +82,7 @@ def main():
 
         patches = jax.vmap(per_image)(sr)
         flat = patches.reshape((-1,) + patches.shape[2:])
-        probs = clf_model.apply(cv, flat).astype(jnp.float32)
+        probs = clf_apply(flat).astype(jnp.float32)
         probs = probs.reshape(sr.shape[0], nh * nw, -1)
         classes, confs = jax.vmap(_vote)(probs)
         # data-dependent feedback: next LR derives from this SR + vote result
