@@ -1,0 +1,111 @@
+"""Micro-batching inference server for the fused SR->classify pipeline.
+
+Production-serving tier: callers submit single LR images (or small batches);
+a background worker coalesces them into fixed-size device batches (padding the
+tail), runs the one-graph pipeline, and resolves per-request futures. Fixed
+batch shapes keep XLA compile cache warm; padding rows are masked out.
+
+The reference has no serving story (notebooks only); this is part of the
+TPU-native production surface alongside the int8 classifier path
+(tpusr.models.quant).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+
+import numpy as np
+import jax
+
+
+class PipelineServer:
+    """Micro-batching wrapper around a FusedSRClassifyPipeline.
+
+    Args:
+        pipeline: a FusedSRClassifyPipeline (or any callable taking an
+            (N, h, w, 3) batch and returning (sr, classes, confidences)).
+        batch_size: fixed device batch; requests are coalesced up to this.
+        max_wait_ms: max time the batcher waits to fill a batch.
+    """
+
+    def __init__(self, pipeline, batch_size: int = 16, max_wait_ms: float = 5.0):
+        self.pipeline = pipeline
+        self.batch_size = batch_size
+        self.max_wait = max_wait_ms / 1000.0
+        self._q: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._started = False
+
+    # ------------------------------------------------------------------ API
+    def start(self):
+        if not self._started:
+            self._worker.start()
+            self._started = True
+        return self
+
+    def stop(self):
+        self._stop.set()
+        self._q.put(None)  # wake the worker
+        if self._started:
+            self._worker.join(timeout=5.0)
+
+    def submit(self, lr_image: np.ndarray) -> Future:
+        """Submit one (h, w, 3) [0,1] LR image; resolves to
+        {'sr': ndarray, 'class': int, 'confidence': float}."""
+        fut: Future = Future()
+        self._q.put((np.asarray(lr_image, np.float32), fut))
+        return fut
+
+    def classify(self, lr_image: np.ndarray, timeout: float = 60.0) -> dict:
+        """Blocking convenience wrapper."""
+        return self.submit(lr_image).result(timeout=timeout)
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    # ---------------------------------------------------------------- worker
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if first is None:
+                continue
+            batch = [first]
+            deadline = self.max_wait
+            while len(batch) < self.batch_size:
+                try:
+                    item = self._q.get(timeout=deadline)
+                except queue.Empty:
+                    break
+                if item is None:
+                    break
+                batch.append(item)
+            self._run_batch(batch)
+
+    def _run_batch(self, batch):
+        imgs = np.stack([b[0] for b in batch])
+        n = imgs.shape[0]
+        if n < self.batch_size:  # pad to the fixed compiled shape
+            padrows = np.repeat(imgs[-1:], self.batch_size - n, axis=0)
+            imgs = np.concatenate([imgs, padrows])
+        try:
+            sr, classes, confs = self.pipeline(imgs)
+            sr, classes, confs = jax.device_get((sr, classes, confs))
+            for i, (_, fut) in enumerate(batch):
+                fut.set_result({
+                    "sr": np.asarray(sr[i]),
+                    "class": int(classes[i]),
+                    "confidence": float(confs[i]),
+                })
+        except Exception as e:  # propagate to all waiters
+            for _, fut in batch:
+                if not fut.done():
+                    fut.set_exception(e)
