@@ -55,3 +55,12 @@ def test_remat_training_matches_plain():
     for a, b in zip(jax.tree.leaves(jax.device_get(s1.params)),
                     jax.tree.leaves(jax.device_get(s2.params))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_time_compiled_and_memory():
+    from tpusr.train.profiling import time_compiled, device_memory_mb
+    f = jax.jit(lambda x: x * 2.0)
+    dt = time_compiled(f, jnp.ones((64, 64)), iters=3)
+    assert dt > 0
+    mem = device_memory_mb()
+    assert "current_mb" in mem and "peak_mb" in mem

@@ -103,3 +103,10 @@ def test_self_attention_shape_preserving():
     v = m.init(jax.random.PRNGKey(0), x)
     y = m.apply(v, x)
     assert y.shape == x.shape
+
+
+def test_esrgan_x4_generator_shapes():
+    m = ESRGANGenerator(scale_factor=4, growth_channels=4, num_rrdb_blocks=1)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    y = m.apply(v, jnp.zeros((1, 8, 8, 3)))
+    assert y.shape == (1, 32, 32, 3)  # two x2 pixel-shuffle stages

@@ -90,3 +90,8 @@ def test_fused_pipeline_sharded_batch():
     sr_sh, cls_sh, conf_sh = pipe(shard_batch(mesh, lr))
     np.testing.assert_allclose(np.asarray(sr_plain), np.asarray(sr_sh), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(cls_plain), np.asarray(cls_sh))
+
+
+def test_dryrun_multichip_4_devices():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(4)
