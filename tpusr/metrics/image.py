@@ -85,8 +85,9 @@ def ssim(
     cs = (2.0 * (mu_xy - mu_x * mu_y) + c2) / ((mu_xx - mu_x**2) + (mu_yy - mu_y**2) + c2)
     val = jnp.mean(lum * cs, axis=(1, 2, 3))
 
-    val = val.reshape(lead) if lead else val[0]
-    return val if not squeeze else val
+    if squeeze:
+        return val[0]  # unbatched (H, W, C) input -> scalar
+    return val.reshape(lead) if lead else val[0]
 
 
 def ssim_skimage(
