@@ -39,9 +39,9 @@ def main():
     from tpusr.core.patches import patchify, patch_grid_size
     from tpusr.pipeline.defect_pipeline import _vote
 
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
-    n_chain = int(os.environ.get("BENCH_CHAIN", "5"))
-    reps = int(os.environ.get("BENCH_REPS", "4"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    n_chain = int(os.environ.get("BENCH_CHAIN", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     lr_hw = (128, 128)
     scale = 4
     patch, stride = 96, 48
