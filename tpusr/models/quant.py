@@ -69,12 +69,14 @@ def quantize_vgg16(params: dict, act_scales: dict):
             w_scale = np.maximum(np.abs(k).max(axis=(0, 1, 2)) / 127.0, 1e-12)
             k_q = np.clip(np.round(k / w_scale), -127, 127).astype(np.int8)
             out_scale = act_scales[name]
-            # y_f32 = y_int32 * prev_scale * w_scale + bias; then /out_scale
+            # y_f32 = y_int32 * prev_scale * w_scale + bias; then /out_scale.
+            # +0.5 folded into the bias turns the truncating int8 cast into
+            # round-half-up (values are >=0 post-ReLU) — saves a round op.
             q["layers"][name] = {
                 "kernel_q": jnp.asarray(k_q),
                 "rescale": jnp.asarray(prev_scale * w_scale / out_scale,
                                        jnp.float32),
-                "bias_over_out": jnp.asarray(b / out_scale, jnp.float32),
+                "bias_over_out": jnp.asarray(b / out_scale + 0.5, jnp.float32),
             }
             prev_scale = out_scale
     q["final_scale"] = prev_scale
@@ -95,8 +97,9 @@ def quantized_vgg16_apply(q: dict, patches: jnp.ndarray) -> jnp.ndarray:
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.int32)
             yf = y.astype(jnp.float32) * layer["rescale"] + layer["bias_over_out"]
-            yf = jnp.maximum(yf, 0.0)  # ReLU in the quantized grid
-            x = jnp.clip(jnp.round(yf), 0, 127).astype(jnp.int8)
+            # clip(...,0,127) also applies ReLU; the truncating cast rounds
+            # half-up thanks to the +0.5 folded into bias_over_out
+            x = jnp.clip(yf, 0.0, 127.0).astype(jnp.int8)
         x = jax.lax.reduce_window(x, jnp.int8(-128), jax.lax.max,
                                   (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
     feats = x.astype(jnp.float32) * q["final_scale"]
