@@ -58,14 +58,18 @@ def main():
                              jnp.zeros((1, patch, patch, 3), jnp.float32))
     if use_int8:
         from tpusr.models.quant import (calibrate_vgg16, quantize_vgg16,
-                                        quantized_vgg16_apply)
+                                        quantized_vgg16_apply, quantize_input)
         calib = np.random.default_rng(2).random((16, patch, patch, 3),
                                                 dtype=np.float32)
         qtree = quantize_vgg16(cv_full["params"],
                                calibrate_vgg16(cv_full["params"], calib))
+        # quantize BEFORE patchify: the patch tensor (the pipeline's largest
+        # intermediate) shrinks 4x
+        pre_quant = lambda sr: quantize_input(qtree, sr)
         clf_apply = lambda p: quantized_vgg16_apply(qtree, p)
     else:
         cv = jax.tree.map(lambda a: a.astype(dtype), cv_full)
+        pre_quant = lambda sr: sr.astype(dtype)
         clf_apply = lambda p: clf_model.apply(cv, p.astype(dtype)).astype(jnp.float32)
 
     hr = lr_hw[0] * scale
@@ -74,13 +78,14 @@ def main():
 
     def one_iter(x):
         sr = sr_model.apply(sv, x.astype(dtype))
+        srq = pre_quant(sr)
 
         def per_image(img):
             padded = jnp.pad(img, ((0, pad_h), (0, pad_w), (0, 0)),
                              mode="reflect")
             return patchify(padded, patch, stride)
 
-        patches = jax.vmap(per_image)(sr)
+        patches = jax.vmap(per_image)(srq)
         flat = patches.reshape((-1,) + patches.shape[2:])
         probs = clf_apply(flat).astype(jnp.float32)
         probs = probs.reshape(sr.shape[0], nh * nw, -1)

@@ -84,11 +84,22 @@ def quantize_vgg16(params: dict, act_scales: dict):
     return q
 
 
-def quantized_vgg16_apply(q: dict, patches: jnp.ndarray) -> jnp.ndarray:
-    """int8 backbone + f32 head forward: (N, H, W, 3) [0,1] -> (N, classes) probs."""
+def quantize_input(q: dict, images: jnp.ndarray) -> jnp.ndarray:
+    """[0,1] float images -> the classifier's int8 input grid. Quantizing
+    BEFORE patch extraction shrinks the patch tensor 4x (the pipeline's
+    largest intermediate) — patch geometry is dtype-agnostic."""
     s_in = q["act_scales"]["__input__"]
-    x = jnp.clip(jnp.round(patches.astype(jnp.float32) / s_in), -127, 127)
-    x = x.astype(jnp.int8)
+    x = jnp.clip(jnp.round(images.astype(jnp.float32) / s_in), -127, 127)
+    return x.astype(jnp.int8)
+
+
+def quantized_vgg16_apply(q: dict, patches: jnp.ndarray) -> jnp.ndarray:
+    """int8 backbone + f32 head forward: (N, H, W, 3) [0,1] (or pre-quantized
+    int8 from ``quantize_input``) -> (N, classes) probs."""
+    if patches.dtype == jnp.int8:
+        x = patches
+    else:
+        x = quantize_input(q, patches)
     for block, n_convs, _f in _CFG:
         for ci in range(1, n_convs + 1):
             layer = q["layers"][f"block{block}_conv{ci}"]
