@@ -123,3 +123,23 @@ def test_fused_pipeline_matches_sequential():
         cls, conf = classify_defects(clf_apply, sr_i, patch=32, stride=16)
         assert cls == int(classes[i])
         assert abs(conf - float(confs[i])) < 1e-5
+
+
+def test_fused_pipeline_chunked_matches_unchunked():
+    sr_model = EDSR(scale_factor=2, num_res_blocks=1)
+    sv = sr_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    clf_model = VGG16Classifier(num_classes=2)
+    cv = clf_model.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)))
+    sr_apply = lambda x: sr_model.apply(sv, x)
+    clf_apply = lambda p: clf_model.apply(cv, p)
+
+    plain = FusedSRClassifyPipeline(sr_apply, clf_apply, (16, 16), 2,
+                                    patch=32, stride=16)
+    chunked = FusedSRClassifyPipeline(sr_apply, clf_apply, (16, 16), 2,
+                                      patch=32, stride=16, classify_chunks=2)
+    lr = np.random.default_rng(7).random((4, 16, 16, 3)).astype(np.float32)
+    sr_a, cls_a, conf_a = plain(lr)
+    sr_b, cls_b, conf_b = chunked(lr)
+    np.testing.assert_allclose(np.asarray(sr_a), np.asarray(sr_b), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(cls_a), np.asarray(cls_b))
+    np.testing.assert_allclose(np.asarray(conf_a), np.asarray(conf_b), atol=1e-6)

@@ -78,7 +78,14 @@ class FusedSRClassifyPipeline:
     """
 
     def __init__(self, sr_apply, clf_apply, lr_hw: tuple[int, int], scale: int,
-                 patch: int = 96, stride: int | None = None, mesh=None):
+                 patch: int = 96, stride: int | None = None, mesh=None,
+                 classify_chunks: int = 1, pre_quant=None):
+        """classify_chunks > 1 runs the patchify+classify stage over image
+        sub-batches via lax.map — same results, lower peak memory (the patch
+        tensor is the pipeline's largest intermediate). `pre_quant` optionally
+        maps the SR batch to the classifier's input dtype BEFORE patch
+        extraction (e.g. tpusr.models.quant.quantize_input: int8 patches are
+        4x smaller than f32)."""
         self.lr_hw = lr_hw
         self.scale = scale
         self.patch = patch
@@ -93,17 +100,27 @@ class FusedSRClassifyPipeline:
         stride_ = self.stride
         patch_ = patch
 
-        def run(lr_batch):
-            sr = sr_apply(lr_batch)  # (N, hr_h, hr_w, 3)
-
+        def classify_block(sr_block):
             def per_image(img):
                 x = jnp.pad(img, ((0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
                 return patchify(x, patch_, stride_)
 
-            patches = jax.vmap(per_image)(sr)              # (N, P, p, p, 3)
+            patches = jax.vmap(per_image)(sr_block)        # (n, P, p, p, 3)
             flat = patches.reshape((-1,) + patches.shape[2:])
             probs = clf_apply(flat)
-            probs = probs.reshape(sr.shape[0], n_patches, -1)
+            return probs.reshape(sr_block.shape[0], n_patches, -1)
+
+        def run(lr_batch):
+            sr = sr_apply(lr_batch)  # (N, hr_h, hr_w, 3)
+            srq = pre_quant(sr) if pre_quant is not None else sr
+            n = srq.shape[0]
+            if classify_chunks > 1 and n % classify_chunks == 0:
+                blocks = srq.reshape((classify_chunks, n // classify_chunks)
+                                     + srq.shape[1:])
+                probs = jax.lax.map(classify_block, blocks)
+                probs = probs.reshape((n, n_patches, -1))
+            else:
+                probs = classify_block(srq)
             classes, confs = jax.vmap(_vote)(probs)
             return sr, classes, confs
 
