@@ -114,3 +114,30 @@ def test_glcm_features_properties():
     g2 = glcm_features(cb, levels=64)
     assert g2["glcm_contrast"] > 100
     assert g2["glcm_homogeneity"] < 0.2
+
+
+def test_cli_pipeline_with_checkpoints(tiny_dataset, tmp_path):
+    """The --vgg16-ckpt / --edsr-ckpt flags must actually load the weights."""
+    from tpusr.cli.__main__ import main
+    from tpusr.models.api import EDSR as EDSRFacade, FineTunedVGG16
+
+    # train-and-save tiny models via the facades
+    edsr = EDSRFacade()
+    edsr.setup_model(scale_factor=2, num_res_blocks=1)
+    edsr.trained = True
+    edsr_path = edsr.save(str(tmp_path / "ck"), "t")
+
+    vgg = FineTunedVGG16()
+    vgg.setup_model(input_shape=(96, 96, 3), num_classes=2)
+    vgg.trained = True
+    vgg_path = vgg.save(str(tmp_path / "ck"), "t")
+
+    out = tmp_path / "dl"
+    main(["pipeline", "--lr-dir", str(tiny_dataset / "LR"),
+          "--hr-dir", str(tiny_dataset / "HR"),
+          "--class-map", str(tiny_dataset / "cmap.pkl"),
+          "--out", str(out), "--batch-size", "2",
+          "--vgg16-ckpt", vgg_path, "--edsr-ckpt", edsr_path])
+    import json
+    res = json.load(open(out / "pipeline_results.json"))
+    assert "edsr" in res and "bicubic" in res

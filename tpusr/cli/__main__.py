@@ -268,34 +268,32 @@ def cmd_train_vgg16(args):
 def cmd_pipeline(args):
     """End-to-end LR -> SR (per method) -> classify comparison — the missing
     defect_detection_pipeline notebook."""
-    import numpy as np
     import jax
     import jax.numpy as jnp
     from tpusr.data import load_predictions_dataset
     from tpusr.core.resize import resize
-    from tpusr.models import EDSR, SRCNN, ESRGANGenerator, VGG16Classifier
-    from tpusr.train import restore_checkpoint
     from tpusr.pipeline import run_defect_detection_comparison
     from tpusr.viz import plot_classification_reports_panel, plot_confidence_panel
+    from tpusr.models.api import EDSR as EDSRFacade, FineTunedVGG16
 
     x_lr, x_hr, y = load_predictions_dataset(args.lr_dir, args.hr_dir,
                                              args.class_map)
     scale = x_hr.shape[1] // x_lr.shape[1]
     hr_hw = x_hr.shape[1:3]
 
-    clf_model = VGG16Classifier(num_classes=2)
-    cv = clf_model.init(jax.random.PRNGKey(1), jnp.zeros((1, 96, 96, 3)))
-    if args.vgg16_ckpt:
-        cv = {"params": restore_checkpoint(os.path.dirname(args.vgg16_ckpt),
-                                           os.path.basename(args.vgg16_ckpt),
-                                           cv["params"])}
-    clf_apply = lambda p: clf_model.apply(cv, p)
+    vgg = FineTunedVGG16()
+    vgg.setup_model(input_shape=(96, 96, 3), num_classes=2,
+                    from_pretrained=bool(args.vgg16_ckpt),
+                    pretrained_path=args.vgg16_ckpt)
+    clf_apply = lambda p: vgg.module.apply({"params": vgg.state.params}, p)
 
     sr_methods = {"bicubic": lambda x: jnp.clip(resize(x, hr_hw, "bicubic"), 0, 1)}
     if args.edsr_ckpt:
-        m = EDSR(scale_factor=scale)
-        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 24, 24, 3)))
-        sr_methods["edsr"] = lambda x: m.apply(v, x)
+        edsr = EDSRFacade()
+        edsr.setup_model(scale_factor=scale, from_pretrained=True,
+                         pretrained_path=args.edsr_ckpt)
+        sr_methods["edsr"] = lambda x: edsr.module.apply(
+            {"params": edsr.state.params}, x)
     results = run_defect_detection_comparison(sr_methods, clf_apply, x_lr, x_hr,
                                               y, batch_size=args.batch_size)
     os.makedirs(args.out, exist_ok=True)

@@ -26,11 +26,20 @@ from tpusr.pipeline.inference import srcnn_super_resolve, super_resolve_image
 from tpusr.pipeline.defect_pipeline import classify_defects
 from tpusr.train.trainer import SupervisedSRTrainer, ClassifierTrainer
 from tpusr.train.gan import ESRGANTrainer
-from tpusr.train.checkpoint import save_checkpoint, restore_checkpoint
+from tpusr.train.checkpoint import save_checkpoint, restore_checkpoint, load_metadata
 
 
 def _is_h5(path):
     return isinstance(path, str) and path.endswith(".h5")
+
+
+def _saved_arch(pretrained_path):
+    """Architecture config stored in a facade checkpoint's sidecar, if any."""
+    if pretrained_path is None or _is_h5(pretrained_path):
+        return None
+    meta = load_metadata(os.path.dirname(pretrained_path) or ".",
+                         os.path.basename(pretrained_path))
+    return (meta or {}).get("arch")
 
 
 class SRCNNModel:
@@ -117,7 +126,18 @@ class EDSR:
                     num_filters=64, res_scaling=0.1, learning_rate=1e-4,
                     loss="mean_squared_error", from_pretrained=False,
                     pretrained_path=None):
+        if from_pretrained:
+            arch = _saved_arch(pretrained_path)
+            if arch:  # the checkpoint knows its own architecture
+                scale_factor = arch.get("scale_factor", scale_factor)
+                channels = arch.get("channels", channels)
+                num_res_blocks = arch.get("num_res_blocks", num_res_blocks)
+                num_filters = arch.get("num_filters", num_filters)
+                res_scaling = arch.get("res_scaling", res_scaling)
         self.scale_factor = scale_factor
+        self._arch = {"scale_factor": scale_factor, "channels": channels,
+                      "num_res_blocks": num_res_blocks,
+                      "num_filters": num_filters, "res_scaling": res_scaling}
         self.module = EDSRModule(scale_factor=scale_factor, channels=channels,
                                  num_res_blocks=num_res_blocks,
                                  num_filters=num_filters,
@@ -180,7 +200,7 @@ class EDSR:
             raise ValueError("Directory path must be provided.")
         path = save_checkpoint(directory,
                                f"EDSR_x{self.scale_factor}_{timestamp}",
-                               self.state)
+                               self.state, metadata={"arch": self._arch})
         print(f"Model saved to {path}")
         return path
 
@@ -204,7 +224,16 @@ class ESRGAN:
                     generator_pretrained_path=None,
                     discriminator_pretrained_path=None,
                     vgg19_weights_path=None):
+        if from_trained:
+            arch = _saved_arch(generator_pretrained_path)
+            if arch:
+                scale_factor = arch.get("scale_factor", scale_factor)
+                growth_channels = arch.get("growth_channels", growth_channels)
+                num_rrdb_blocks = arch.get("num_rrdb_blocks", num_rrdb_blocks)
         self.scale_factor = scale_factor
+        self._arch = {"scale_factor": scale_factor,
+                      "growth_channels": growth_channels,
+                      "num_rrdb_blocks": num_rrdb_blocks}
         self.generator = ESRGANGenerator(scale_factor=scale_factor,
                                          growth_channels=growth_channels,
                                          num_rrdb_blocks=num_rrdb_blocks)
@@ -272,7 +301,8 @@ class ESRGAN:
         if not self.trained:
             raise RuntimeError("Cannot save an untrained model.")
         path = save_checkpoint(
-            directory, f"ESRGAN_x{self.scale_factor}_{timestamp}", self.state)
+            directory, f"ESRGAN_x{self.scale_factor}_{timestamp}", self.state,
+            metadata={"arch": self._arch})
         print(f"Generator+discriminator state saved to {path}")
         return path
 
@@ -294,8 +324,16 @@ class FineTunedVGG16:
                     loss="sparse_categorical_crossentropy",
                     from_pretrained=False, pretrained_path=None,
                     imagenet_weights_path=None):
+        if from_pretrained:
+            arch = _saved_arch(pretrained_path)
+            if arch:
+                input_shape = tuple(arch.get("input_shape", input_shape))
+                num_classes = arch.get("num_classes", num_classes)
+                dropout_rate = arch.get("dropout_rate", dropout_rate)
         assert input_shape[-1] == 3, "Input must have 3 channels (RGB)."
         self.input_shape = tuple(input_shape)
+        self._arch = {"input_shape": list(self.input_shape),
+                      "num_classes": num_classes, "dropout_rate": dropout_rate}
         self.module = VGG16Classifier(num_classes=num_classes,
                                       dropout_rate=dropout_rate)
         pred = None
@@ -322,7 +360,8 @@ class FineTunedVGG16:
                                            imagenet_weights_path, "vgg16")
             self.state = self.state.replace(params=params)
         if from_pretrained:
-            if pretrained_path is None or not os.path.isfile(pretrained_path):
+            # .h5 checkpoints are files; orbax checkpoints are directories
+            if pretrained_path is None or not os.path.exists(pretrained_path):
                 raise FileNotFoundError(
                     f"Pretrained model file not found at {pretrained_path}")
             if _is_h5(pretrained_path):
@@ -372,7 +411,8 @@ class FineTunedVGG16:
     def save(self, directory, timestamp):
         if not self.trained:
             raise RuntimeError("Cannot save an untrained model.")
-        path = save_checkpoint(directory, f"VGG16_{timestamp}", self.state)
+        path = save_checkpoint(directory, f"VGG16_{timestamp}", self.state,
+                               metadata={"arch": self._arch})
         print(f"Model saved to {path}")
         return path
 
