@@ -116,3 +116,29 @@ def test_checkpoint_roundtrip(tmp_path, sr_data):
         np.testing.assert_array_equal(np.asarray(ka), np.asarray(kb))
     from tpusr.train import load_metadata
     assert load_metadata(str(tmp_path), "srcnn_test")["eval"]["psnr"] == 30.0
+
+
+def test_midtraining_resume(tmp_path, sr_data):
+    """True resume: optimizer state survives the checkpoint, so continuing
+    from a restore matches continuing in-process exactly."""
+    x, y = sr_data
+    trainer = SupervisedSRTrainer(SRCNN(f1=8, f2=4), learning_rate=1e-3)
+    state = trainer.init_state(x[:1])
+    xb, yb = jnp.asarray(x[:16]), jnp.asarray(y[:16])
+    state, _ = trainer.train_step(state, xb, yb)
+    state, _ = trainer.train_step(state, xb, yb)
+
+    save_checkpoint(str(tmp_path), "mid", state)
+
+    # continue in-process
+    cont, m_cont = trainer.train_step(state, xb, yb)
+
+    # resume from disk and continue
+    restored = restore_checkpoint(str(tmp_path), "mid",
+                                  trainer.init_state(x[:1]))
+    resumed, m_res = trainer.train_step(restored, xb, yb)
+
+    assert abs(float(m_cont["loss"]) - float(m_res["loss"])) < 1e-7
+    for a, b in zip(jax.tree.leaves(jax.device_get(cont.params)),
+                    jax.tree.leaves(jax.device_get(resumed.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
