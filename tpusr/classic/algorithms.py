@@ -13,7 +13,6 @@ like the reference's uint8 path; callers convert dtypes at the boundary.
 
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 import jax

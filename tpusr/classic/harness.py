@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from tpusr.classic import algorithms as A
 from tpusr.metrics.image import (
-    psnr as _psnr_tf, ssim_skimage, mae, rmse, gradient_mse, epi,
+    ssim_skimage, mae, rmse, gradient_mse, epi,
     hf_energy_ratio, kl_divergence, kl_divergence_color, rgb_to_gray,
 )
 from tpusr.metrics.stats import build_metrics_summary, rank_algorithms

@@ -77,7 +77,6 @@ def cmd_preprocess(args):
 
 
 def cmd_classic(args):
-    import numpy as np
     import cv2
     from tpusr.data.loading import get_all_image_paths
     from tpusr.classic import run_classic_comparison, CLASSIC_ALGORITHMS

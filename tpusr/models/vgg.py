@@ -18,7 +18,6 @@ initializers.
 
 from __future__ import annotations
 
-import numpy as np
 import jax.numpy as jnp
 import flax.linen as nn
 

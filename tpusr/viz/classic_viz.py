@@ -185,7 +185,6 @@ def plot_and_save_ssim_similarity_maps(vis, ibp_example, nlm_example, egi_exampl
     """Per-algorithm SSIM maps vs HR (local SSIM heatmaps)."""
     from tpusr.metrics.image import rgb_to_gray
     import jax.numpy as jnp
-    import jax
 
     def to_gray01(img):
         img = np.asarray(img, np.float32)
