@@ -96,10 +96,11 @@ def test_eda_pipeline(tiny_dataset, tmp_path):
         assert df[col].notna().all(), col
     for png in ("advanced_global_panel.png", "distributions.png",
                 "artifact_boxplots.png", "correlation_matrix.png",
-                "scatter_relations.png"):
+                "scatter_relations.png", "artifact_color_histograms.png",
+                "channel_shape_bars.png"):
         assert (out / png).exists(), png
     assert (out / "eda_metrics.csv").exists()
-    assert len(list((out / "LPIPS_Scenarios").rglob("*.png"))) >= 2
+    assert len(list((out / "LPIPS_Scenarios").rglob("*.png"))) >= 4
 
 
 def test_glcm_features_properties():

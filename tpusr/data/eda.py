@@ -325,6 +325,76 @@ def save_visual_example(lr_img, hr_img, output_path, lpips_val):
     plt.close()
 
 
+def create_advanced_visualizations(lr_img, hr_img, output_path):
+    """Per-pair 6-panel: LR/HR spectra, HR gradient magnitude, LR GLCM,
+    LR noise map, saturation distributions (EDA.ipynb cell 8)."""
+    plt = _plt()
+    gray_lr = cv2.cvtColor(lr_img, cv2.COLOR_BGR2GRAY)
+    gray_hr = cv2.cvtColor(hr_img, cv2.COLOR_BGR2GRAY)
+    fig, axes = plt.subplots(2, 3, figsize=(20, 10))
+    axes[0, 0].imshow(np.log1p(np.abs(np.fft.fftshift(np.fft.fft2(gray_lr)))),
+                      cmap="magma")
+    axes[0, 0].set_title("LR spectrum (log)")
+    axes[0, 1].imshow(np.log1p(np.abs(np.fft.fftshift(np.fft.fft2(gray_hr)))),
+                      cmap="magma")
+    axes[0, 1].set_title("HR spectrum (log)")
+    sx = cv2.Sobel(gray_hr, cv2.CV_64F, 1, 0, ksize=5)
+    sy = cv2.Sobel(gray_hr, cv2.CV_64F, 0, 1, ksize=5)
+    axes[0, 2].imshow(np.sqrt(sx**2 + sy**2), cmap="viridis")
+    axes[0, 2].set_title("HR gradient magnitude")
+    axes[1, 0].imshow(np.log1p(glcm_matrix(gray_lr, 256)), cmap="cividis")
+    axes[1, 0].set_title("LR GLCM (log)")
+    blur = cv2.GaussianBlur(gray_lr, (3, 3), 0)
+    axes[1, 1].imshow(np.abs(gray_lr.astype(np.float32) - blur), cmap="inferno")
+    axes[1, 1].set_title("LR noise map")
+    hsv_lr = cv2.cvtColor(lr_img, cv2.COLOR_BGR2HSV)
+    hsv_hr = cv2.cvtColor(hr_img, cv2.COLOR_BGR2HSV)
+    axes[1, 2].hist(hsv_lr[:, :, 1].ravel(), bins=50, alpha=0.6, label="LR")
+    axes[1, 2].hist(hsv_hr[:, :, 1].ravel(), bins=50, alpha=0.6, label="HR")
+    axes[1, 2].set_title("Saturation distribution")
+    axes[1, 2].legend()
+    for ax in axes.ravel()[:5]:
+        ax.axis("off")
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
+    fig.savefig(output_path, dpi=120)
+    plt.close(fig)
+
+
+def artifact_color_histograms(df, output_dir):
+    """LR-vs-HR histograms for the artifact metrics (EDA cell 10 output)."""
+    plt = _plt()
+    pairs = [("blocking_lr", "blocking_hr"), ("color_noise_lr", "color_noise_hr"),
+             ("ringing_lr", "ringing_hr"), ("rms_noise_lr", "rms_noise_hr")]
+    fig, axes = plt.subplots(2, 2, figsize=(14, 9))
+    for ax, (lo, hi) in zip(axes.ravel(), pairs):
+        ax.hist(df[lo].dropna(), bins=25, alpha=0.6, label="LR")
+        ax.hist(df[hi].dropna(), bins=25, alpha=0.6, label="HR")
+        ax.set_title(lo[:-3])
+        ax.legend()
+    fig.tight_layout()
+    fig.savefig(os.path.join(output_dir, "artifact_color_histograms.png"), dpi=130)
+    plt.close(fig)
+
+
+def channel_shape_bars(df, output_dir):
+    """Mean per-channel skew/kurtosis bars, LR vs HR (EDA cell 10 output)."""
+    plt = _plt()
+    fig, axes = plt.subplots(1, 2, figsize=(14, 5))
+    xs = np.arange(3)
+    for ax, stat in zip(axes, ("skew", "kurt")):
+        lr_vals = [df[f"ch{c}_{stat}_lr"].mean() for c in range(3)]
+        hr_vals = [df[f"ch{c}_{stat}_hr"].mean() for c in range(3)]
+        ax.bar(xs - 0.2, lr_vals, 0.4, label="LR")
+        ax.bar(xs + 0.2, hr_vals, 0.4, label="HR")
+        ax.set_xticks(xs, [f"ch{c}" for c in range(3)])
+        ax.set_title(f"Per-channel {stat} (mean)")
+        ax.legend()
+    fig.tight_layout()
+    fig.savefig(os.path.join(output_dir, "channel_shape_bars.png"), dpi=130)
+    plt.close(fig)
+
+
 def create_global_advanced_visualizations(gd, output_path):
     plt = _plt()
     n = max(1, gd["count"])
@@ -431,7 +501,9 @@ def run_eda_pipeline(lr_dir, hr_dir, output_dir="eda_results", top_k_examples=1,
     create_global_advanced_visualizations(
         gd, os.path.join(output_dir, "advanced_global_panel.png"))
     basic_distributions(df, output_dir)
+    artifact_color_histograms(df, output_dir)
     artifact_boxplots(df, output_dir)
+    channel_shape_bars(df, output_dir)
     correlation_matrix(df, output_dir)
     scatter_relations(df, output_dir)
 
@@ -445,9 +517,13 @@ def run_eda_pipeline(lr_dir, hr_dir, output_dir="eda_results", top_k_examples=1,
             lr_img, hr_img = load_and_align(os.path.join(lr_dir, r["filename"]),
                                             os.path.join(hr_dir, r["filename"]),
                                             interp_map)
+            base = os.path.basename(r["filename"])
             save_visual_example(
                 lr_img, hr_img,
-                os.path.join(output_dir, "LPIPS_Scenarios", dname,
-                             os.path.basename(r["filename"])),
+                os.path.join(output_dir, "LPIPS_Scenarios", dname, base),
                 r["lpips"] if key == "lpips" else None)
+            create_advanced_visualizations(
+                lr_img, hr_img,
+                os.path.join(output_dir, "LPIPS_Scenarios", dname,
+                             "advanced_" + base))
     return df
