@@ -92,12 +92,28 @@ def super_resolve_image(apply_fn, lr_img, patch_size_lr: int = 48,
     return sr, metrics
 
 
+# Cache values hold a reference to the keyed apply_fn: id() is only unique
+# among live objects, so keeping it alive prevents a recycled id from
+# resolving to a stale compiled closure over old weights.
 _SR_FN_CACHE: dict = {}
+
+
+def _cache_get(key, apply_fn):
+    entry = _SR_FN_CACHE.get(key)
+    if entry is not None and entry[1] is apply_fn:
+        return entry[0]
+    return None
+
+
+def _cache_put(key, apply_fn, fn):
+    _SR_FN_CACHE[key] = (fn, apply_fn)
+    return fn
 
 
 def _cached_sr_fn(apply_fn, lr_hw, patch, stride, scale, in_map):
     key = (id(apply_fn), lr_hw, patch, stride, scale, in_map)
-    if key not in _SR_FN_CACHE:
+    cached = _cache_get(key, apply_fn)
+    if cached is None:
         h, w = lr_hw
         pad_h, pad_w = pad_amounts(h, w, patch, stride)
         nh, nw = patch_grid_size(h + pad_h, w + pad_w, patch, stride)
@@ -117,8 +133,8 @@ def _cached_sr_fn(apply_fn, lr_hw, patch, stride, scale, in_map):
                              crop_hw=(h * scale, w * scale))
             return jnp.clip(sr, 0.0, 1.0)
 
-        _SR_FN_CACHE[key] = fn
-    return _SR_FN_CACHE[key]
+        cached = _cache_put(key, apply_fn, fn)
+    return cached
 
 
 def srcnn_super_resolve(apply_fn, lr_img, hr_h: int, hr_w: int,
@@ -128,7 +144,8 @@ def srcnn_super_resolve(apply_fn, lr_img, hr_h: int, hr_w: int,
     restoration (SRCNN_model.py:111-247)."""
     lr_img = jnp.asarray(np.asarray(lr_img, np.float32))
     key = (id(apply_fn), lr_img.shape, hr_h, hr_w, patch_size, stride, interpolation)
-    if key not in _SR_FN_CACHE:
+    cached = _cache_get(key, apply_fn)
+    if cached is None:
         pad_h, pad_w = pad_amounts(hr_h, hr_w, patch_size, stride)
         nh, nw = patch_grid_size(hr_h + pad_h, hr_w + pad_w, patch_size, stride)
 
@@ -141,5 +158,5 @@ def srcnn_super_resolve(apply_fn, lr_img, hr_h: int, hr_w: int,
             sr = overlap_add(preds, (nh, nw), stride, crop_hw=(hr_h, hr_w))
             return jnp.clip(sr, 0.0, 1.0)
 
-        _SR_FN_CACHE[key] = fn
-    return _timed_call(_SR_FN_CACHE[key], lr_img)
+        cached = _cache_put(key, apply_fn, fn)
+    return _timed_call(cached, lr_img)
