@@ -95,3 +95,23 @@ def test_fused_pipeline_sharded_batch():
 def test_dryrun_multichip_4_devices():
     import __graft_entry__ as ge
     ge.dryrun_multichip(4)
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_clean_subprocess():
+    """The exact driver scenario: no conftest env, a host with too few
+    devices — dryrun_multichip must self-bootstrap a virtual CPU mesh in a
+    subprocess (the round-1 MULTICHIP failure mode)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "TPUSR_DRYRUN_CHILD")}
+    code = (f"import sys; sys.path.insert(0, {repo!r}); "
+            "import __graft_entry__ as g; g.dryrun_multichip(8)")
+    proc = subprocess.run([sys.executable, "-c", code], env=env,
+                          capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip(8)" in proc.stdout and "OK" in proc.stdout
