@@ -79,7 +79,8 @@ class SRCNNModel:
             raise ValueError("Model has not been set up.")
         res = self.trainer.fit(X_train, Y_train, X_val, Y_val,
                                batch_size=batch_size, epochs=epochs,
-                               es_patience=3, plateau_patience=2)
+                               es_patience=3, plateau_patience=2,
+                               state=self.state)
         self.state = res.state
         self._trained = True
         return res.history, res.time_tracker, res.memory_tracker
@@ -171,7 +172,8 @@ class EDSR:
             raise ValueError("Model is not built yet.")
         res = self.trainer.fit(X_train, Y_train, X_val, Y_val,
                                batch_size=batch_size, epochs=epochs,
-                               es_patience=5, plateau_patience=3)
+                               es_patience=5, plateau_patience=3,
+                               state=self.state)
         self.state = res.state
         self.trained = True
         return res.history, res.time_tracker, res.memory_tracker
@@ -331,6 +333,11 @@ class FineTunedVGG16:
                 num_classes = arch.get("num_classes", num_classes)
                 dropout_rate = arch.get("dropout_rate", dropout_rate)
         assert input_shape[-1] == 3, "Input must have 3 channels (RGB)."
+        if loss != "sparse_categorical_crossentropy":
+            raise ValueError(
+                f"Unsupported loss {loss!r}: only "
+                "'sparse_categorical_crossentropy' is implemented "
+                "(the reference compiles exactly this, VGG16_model.py:102)")
         self.input_shape = tuple(input_shape)
         self._arch = {"input_shape": list(self.input_shape),
                       "num_classes": num_classes, "dropout_rate": dropout_rate}
@@ -350,7 +357,8 @@ class FineTunedVGG16:
         self.trainer = ClassifierTrainer(self.module,
                                          learning_rate=learning_rate,
                                          mesh=self.mesh,
-                                         trainable_predicate=pred)
+                                         trainable_predicate=pred,
+                                         l2_reg=l2_reg)
         sample = jnp.zeros((1,) + self.input_shape, jnp.float32)
         self.state = self.trainer.init_state(sample,
                                              jax.random.PRNGKey(RANDOM_SEED))
@@ -379,10 +387,11 @@ class FineTunedVGG16:
             use_augmentation=True):
         if self.module is None:
             raise ValueError("Model is not built yet.")
-        if use_augmentation:
-            X_train, y_train = augment_classification_set(X_train, y_train)
+        # augmentation happens per-batch inside the compiled train step
+        # (Keras ImageDataGenerator parity — see tpusr.data.augment)
         res = self.trainer.fit(X_train, y_train, X_val, y_val,
-                               batch_size=batch_size, epochs=epochs)
+                               batch_size=batch_size, epochs=epochs,
+                               augment=use_augmentation, state=self.state)
         self.state = res.state
         self.trained = True
         return res.history
@@ -418,31 +427,16 @@ class FineTunedVGG16:
 
 
 def augment_classification_set(x, y, seed=RANDOM_SEED):
-    """One-shot augmentation pass mirroring the reference's ImageDataGenerator
-    settings (VGG16_model.py:129-134): rotation +-20 deg, width/height shift
-    +-20%, horizontal flip. Returns the original set plus one augmented copy."""
-    rng = np.random.default_rng(seed)
-    key = jax.random.PRNGKey(seed)
-    x = np.asarray(x, np.float32)
-    n, h, w, c = x.shape
+    """One-shot dataset doubling via the Keras-parity warp ops.
 
-    angles = rng.uniform(-20, 20, n) * np.pi / 180.0
-    tx = rng.uniform(-0.2, 0.2, n) * w
-    ty = rng.uniform(-0.2, 0.2, n) * h
-    flips = rng.random(n) < 0.5
+    Training-time parity lives in the train step (``ClassifierTrainer`` with
+    ``augment=True`` warps every batch on the fly, like
+    ``ImageDataGenerator.flow`` in VGG16_model.py:129-140); this helper
+    remains for offline dataset expansion only.
+    """
+    from tpusr.data.augment import random_augment_batch
 
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-
-    out = np.empty_like(x)
-    for i in range(n):
-        ca, sa = np.cos(angles[i]), np.sin(angles[i])
-        sx = ca * (xx - cx) + sa * (yy - cy) + cx - tx[i]
-        sy = -sa * (xx - cx) + ca * (yy - cy) + cy - ty[i]
-        sxi = np.clip(np.round(sx).astype(int), 0, w - 1)
-        syi = np.clip(np.round(sy).astype(int), 0, h - 1)
-        img = x[i, syi, sxi]
-        if flips[i]:
-            img = img[:, ::-1]
-        out[i] = img
-    return np.concatenate([x, out]), np.concatenate([y, y])
+    x = jnp.asarray(x, jnp.float32)
+    out = random_augment_batch(jax.random.PRNGKey(seed), x)
+    return (np.concatenate([np.asarray(x), np.asarray(out)]),
+            np.concatenate([y, y]))

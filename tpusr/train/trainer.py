@@ -96,11 +96,21 @@ class SupervisedSRTrainer:
         fwd = lambda params, x: model.apply({"params": params}, x)
         if self.remat:
             fwd = jax.checkpoint(fwd)
+        loss_name = self.loss_name
 
-        def train_step(state: TrainState, x, y):
+        def per_example_loss(pred, target):
+            axes = tuple(range(1, pred.ndim))
+            if loss_name == "mse":
+                return jnp.mean((pred - target) ** 2, axis=axes)
+            return jnp.mean(jnp.abs(pred - target), axis=axes)
+
+        def wmean(v, w):
+            return jnp.sum(v * w) / jnp.sum(w)
+
+        def train_step_w(state: TrainState, x, y, w):
             def loss_fn(params):
                 pred = fwd(params, x)
-                loss = loss_fn_inner(pred, y)
+                loss = wmean(per_example_loss(pred, y), w)
                 return loss, pred
 
             (loss, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -111,42 +121,70 @@ class SupervisedSRTrainer:
             params = optax.apply_updates(state.params, updates)
             metrics = {
                 "loss": loss,
-                "psnr": jnp.mean(psnr_fn(y, pred)),
-                "ssim": jnp.mean(ssim_fn(y, pred)),
+                "psnr": wmean(psnr_fn(y, pred), w),
+                "ssim": wmean(ssim_fn(y, pred), w),
+                "n": jnp.sum(w),
             }
             return state.replace(params=params, opt_state=opt_state), metrics
 
-        def eval_step(state: TrainState, x, y):
+        def eval_step_w(state: TrainState, x, y, w):
             pred = model.apply({"params": state.params}, x)
             return {
-                "loss": loss_fn_inner(pred, y),
-                "psnr": jnp.mean(psnr_fn(y, pred)),
-                "ssim": jnp.mean(ssim_fn(y, pred)),
+                "loss": wmean(per_example_loss(pred, y), w),
+                "psnr": wmean(psnr_fn(y, pred), w),
+                "ssim": wmean(ssim_fn(y, pred), w),
+                "n": jnp.sum(w),
             }
 
-        self.train_step = jax.jit(train_step, donate_argnums=(0,))
-        self.eval_step = jax.jit(eval_step)
+        self._train_step_w = jax.jit(train_step_w, donate_argnums=(0,))
+        self._eval_step_w = jax.jit(eval_step_w)
+
+    # unweighted public steps (tests / direct users)
+    def train_step(self, state, x, y):
+        return self._train_step_w(state, x, y,
+                                  self._ones_weights(x.shape[0]))
+
+    def eval_step(self, state, x, y):
+        return self._eval_step_w(state, x, y, self._ones_weights(x.shape[0]))
+
+    def _ones_weights(self, n):
+        w = jnp.ones((n,), jnp.float32)
+        if self.mesh is not None:
+            w = shard_batch(self.mesh, np.ones((n,), np.float32))
+        return w
 
     # ---- keras-like lifecycle ----------------------------------------------
     def _batches(self, x, y, batch_size, rng, shuffle=True):
+        """Yield (xb, yb, wb) with a STATIC batch shape: the trailing partial
+        batch is padded by repeating its first row and masked out via wb, so
+        Keras's train-on-the-trailing-batch semantics hold under a mesh
+        (even shards) and on a single device (one compiled shape)."""
         n = x.shape[0]
         idx = rng.permutation(n) if shuffle else np.arange(n)
-        for s in range(0, n - batch_size + 1, batch_size):
+        for s in range(0, n, batch_size):
             sel = idx[s : s + batch_size]
+            nb = sel.shape[0]
+            if nb < batch_size:
+                sel = np.concatenate([sel, np.repeat(sel[:1], batch_size - nb)])
+            wb = (np.arange(batch_size) < nb).astype(np.float32)
             xb, yb = x[sel], y[sel]
             if self.mesh is not None:
-                xb, yb = shard_batch(self.mesh, xb, yb)
-            yield xb, yb
-        # trailing partial batch is dropped under a mesh (uneven shards); kept otherwise
-        rem = n % batch_size
-        if rem and self.mesh is None:
-            sel = idx[n - rem :]
-            yield x[sel], y[sel]
+                xb, yb, wb = shard_batch(self.mesh, xb, yb, wb)
+            yield xb, yb, wb
+
+    @staticmethod
+    def _epoch_mean(vals, ns):
+        """Aggregate per-batch means weighted by real (unmasked) row counts."""
+        v = np.asarray(jax.device_get(vals), np.float64)
+        n = np.asarray(jax.device_get(ns), np.float64)
+        return float((v * n).sum() / n.sum())
 
     def fit(self, x_train, y_train, x_val, y_val, batch_size=16, epochs=50,
             es_patience=3, plateau_patience=2, plateau_factor=0.5, min_lr=1e-7,
-            seed=42, verbose=True) -> FitResult:
-        state = self.init_state(x_train[:1])
+            seed=42, verbose=True, state: TrainState | None = None,
+            metrics_logger=None) -> FitResult:
+        # continue from loaded/previous weights when given (Keras fit semantics)
+        state = state if state is not None else self.init_state(x_train[:1])
         rng = np.random.default_rng(seed)
         early = EarlyStopping(patience=es_patience)
         plateau = ReduceLROnPlateau(plateau_factor, plateau_patience, min_lr)
@@ -159,18 +197,22 @@ class SupervisedSRTrainer:
             tt.begin_epoch()
             mt.begin_epoch()
             agg = {"loss": [], "psnr": [], "ssim": []}
-            for xb, yb in self._batches(x_train, y_train, batch_size, rng):
-                state, m = self.train_step(state, xb, yb)
+            ns = []
+            for xb, yb, wb in self._batches(x_train, y_train, batch_size, rng):
+                state, m = self._train_step_w(state, xb, yb, wb)
                 for k in agg:
                     agg[k].append(m[k])
-            train_m = {k: float(np.mean(jax.device_get(v))) for k, v in agg.items()}
+                ns.append(m["n"])
+            train_m = {k: self._epoch_mean(v, ns) for k, v in agg.items()}
 
             vagg = {"loss": [], "psnr": [], "ssim": []}
-            for xb, yb in self._batches(x_val, y_val, batch_size, rng, shuffle=False):
-                m = self.eval_step(state, xb, yb)
+            vns = []
+            for xb, yb, wb in self._batches(x_val, y_val, batch_size, rng, shuffle=False):
+                m = self._eval_step_w(state, xb, yb, wb)
                 for k in vagg:
                     vagg[k].append(m[k])
-            val_m = {k: float(np.mean(jax.device_get(v))) for k, v in vagg.items()}
+                vns.append(m["n"])
+            val_m = {k: self._epoch_mean(v, vns) for k, v in vagg.items()}
 
             tt.end_epoch()
             mt.end_epoch()
@@ -180,6 +222,11 @@ class SupervisedSRTrainer:
                 history[f"val_{k}"].append(v)
             history["lr"].append(float(state.lr))
             history["epoch_time_sec"].append(tt.epoch_times_sec[-1])
+            if metrics_logger is not None:
+                metrics_logger.log_epoch(epoch, {
+                    **train_m, **{f"val_{k}": v for k, v in val_m.items()},
+                    "lr": float(state.lr),
+                    "epoch_time_sec": tt.epoch_times_sec[-1]})
             if verbose:
                 print(f"epoch {epoch + 1}/{epochs} loss={train_m['loss']:.5f} "
                       f"psnr={train_m['psnr']:.2f} val_loss={val_m['loss']:.5f} "
@@ -197,12 +244,14 @@ class SupervisedSRTrainer:
 
     def evaluate(self, state: TrainState, x_test, y_test, batch_size=16):
         agg = {"loss": [], "psnr": [], "ssim": []}
-        for xb, yb in self._batches(x_test, y_test, batch_size,
-                                    np.random.default_rng(0), shuffle=False):
-            m = self.eval_step(state, xb, yb)
+        ns = []
+        for xb, yb, wb in self._batches(x_test, y_test, batch_size,
+                                        np.random.default_rng(0), shuffle=False):
+            m = self._eval_step_w(state, xb, yb, wb)
             for k in agg:
                 agg[k].append(m[k])
-        return {k: float(np.mean(jax.device_get(v))) for k, v in agg.items()}
+            ns.append(m["n"])
+        return {k: self._epoch_mean(v, ns) for k, v in agg.items()}
 
 
 class ClassifierTrainer(SupervisedSRTrainer):
@@ -215,16 +264,21 @@ class ClassifierTrainer(SupervisedSRTrainer):
 
     def __init__(self, model, learning_rate=1e-3, mesh=None,
                  trainable_predicate: Callable[[tuple], bool] | None = None,
-                 dropout_seed: int = 0):
+                 dropout_seed: int = 0, l2_reg: float = 0.0):
         self.trainable_predicate = trainable_predicate
         self.dropout_seed = dropout_seed
+        self.l2_reg = float(l2_reg)
         super().__init__(model, learning_rate=learning_rate, mesh=mesh)
 
     def _build_steps(self):
+        from tpusr.data.augment import random_augment_batch
+
         model = self.model
         adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
         pred_fn = self.trainable_predicate
         base_rng = jax.random.PRNGKey(self.dropout_seed)
+        aug_rng = jax.random.PRNGKey(self.dropout_seed + 1)
+        l2_reg = self.l2_reg
 
         def opt_init(params):
             return adam.init(params)
@@ -241,37 +295,67 @@ class ClassifierTrainer(SupervisedSRTrainer):
                     for path, g in flat]
             return jax.tree_util.tree_unflatten(treedef, vals)
 
-        def train_step(state: TrainState, x, y, step):
+        def l2_penalty(params):
+            # Keras parity: kernel_regularizer=l2(l2_reg) on the Dense-256
+            # head only (VGG16_model.py:89-91) = l2_reg * sum(kernel**2),
+            # included in both training and evaluate() losses.
+            return l2_reg * jnp.sum(params["fc1"]["kernel"] ** 2)
+
+        def wmean(v, w):
+            return jnp.sum(v * w) / jnp.sum(w)
+
+        def train_step_w(state: TrainState, x, y, w, step, augment: bool):
+            xin = x
+            if augment:
+                # on-the-fly per-batch Keras-ImageDataGenerator-parity warps,
+                # inside the compiled step (SURVEY L5 plan: jax prng ops)
+                xin = random_augment_batch(jax.random.fold_in(aug_rng, step), x)
+
             def loss_fn(params):
-                probs = model.apply({"params": params}, x, True,
+                probs = model.apply({"params": params}, xin, True,
                                     rngs={"dropout": jax.random.fold_in(base_rng, step)})
                 logp = jnp.log(jnp.clip(probs, 1e-7, 1.0))
-                loss = -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
+                ce = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
+                loss = wmean(ce, w)
+                if l2_reg > 0:
+                    loss = loss + l2_penalty(params)
                 return loss, probs
 
             (loss, probs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
             grads = mask_grads(grads, state.params)
             updates, opt_state = adam.update(grads, state.opt_state, state.params)
+            # mask updates too: XLA fusion noise through adam's 1/(sqrt(nu)+eps)
+            # would otherwise drift frozen params by ~1e-8/step
+            updates = mask_grads(updates, state.params)
             updates = jax.tree.map(lambda u: -state.lr * u, updates)
             params = optax.apply_updates(state.params, updates)
-            acc = jnp.mean((jnp.argmax(probs, -1) == y).astype(jnp.float32))
+            acc = wmean((jnp.argmax(probs, -1) == y).astype(jnp.float32), w)
             return (state.replace(params=params, opt_state=opt_state),
-                    {"loss": loss, "accuracy": acc})
+                    {"loss": loss, "accuracy": acc, "n": jnp.sum(w)})
 
-        def eval_step(state: TrainState, x, y):
+        def eval_step_w(state: TrainState, x, y, w):
             probs = model.apply({"params": state.params}, x)
             logp = jnp.log(jnp.clip(probs, 1e-7, 1.0))
-            loss = -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
-            acc = jnp.mean((jnp.argmax(probs, -1) == y).astype(jnp.float32))
-            return {"loss": loss, "accuracy": acc}
+            ce = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
+            loss = wmean(ce, w)
+            if l2_reg > 0:
+                loss = loss + l2_penalty(state.params)
+            acc = wmean((jnp.argmax(probs, -1) == y).astype(jnp.float32), w)
+            return {"loss": loss, "accuracy": acc, "n": jnp.sum(w)}
 
-        self.train_step = jax.jit(train_step, donate_argnums=(0,))
-        self.eval_step = jax.jit(eval_step)
+        self._train_step_w = jax.jit(train_step_w, donate_argnums=(0,),
+                                     static_argnums=(5,))
+        self._eval_step_w = jax.jit(eval_step_w)
+
+    def train_step(self, state, x, y, step):
+        return self._train_step_w(state, x, y, self._ones_weights(x.shape[0]),
+                                  step, False)
 
     def fit(self, x_train, y_train, x_val, y_val, batch_size=32, epochs=50,
             es_patience=3, plateau_patience=2, plateau_factor=0.5, min_lr=1e-7,
-            seed=42, verbose=True) -> FitResult:
-        state = self.init_state(x_train[:1])
+            seed=42, verbose=True, augment=False,
+            state: TrainState | None = None, metrics_logger=None) -> FitResult:
+        state = state if state is not None else self.init_state(x_train[:1])
         rng = np.random.default_rng(seed)
         early = EarlyStopping(patience=es_patience)
         plateau = ReduceLROnPlateau(plateau_factor, plateau_patience, min_lr)
@@ -283,19 +367,24 @@ class ClassifierTrainer(SupervisedSRTrainer):
             tt.begin_epoch()
             mt.begin_epoch()
             agg = {"loss": [], "accuracy": []}
-            for xb, yb in self._batches(x_train, y_train, batch_size, rng):
-                state, m = self.train_step(state, xb, yb,
-                                           jnp.asarray(step, jnp.uint32))
+            ns = []
+            for xb, yb, wb in self._batches(x_train, y_train, batch_size, rng):
+                state, m = self._train_step_w(state, xb, yb, wb,
+                                              jnp.asarray(step, jnp.uint32),
+                                              augment)
                 step += 1
                 for k in agg:
                     agg[k].append(m[k])
-            train_m = {k: float(np.mean(jax.device_get(v))) for k, v in agg.items()}
+                ns.append(m["n"])
+            train_m = {k: self._epoch_mean(v, ns) for k, v in agg.items()}
             vagg = {"loss": [], "accuracy": []}
-            for xb, yb in self._batches(x_val, y_val, batch_size, rng, shuffle=False):
-                m = self.eval_step(state, xb, yb)
+            vns = []
+            for xb, yb, wb in self._batches(x_val, y_val, batch_size, rng, shuffle=False):
+                m = self._eval_step_w(state, xb, yb, wb)
                 for k in vagg:
                     vagg[k].append(m[k])
-            val_m = {k: float(np.mean(jax.device_get(v))) for k, v in vagg.items()}
+                vns.append(m["n"])
+            val_m = {k: self._epoch_mean(v, vns) for k, v in vagg.items()}
             tt.end_epoch()
             mt.end_epoch()
             for k, v in train_m.items():
@@ -304,6 +393,11 @@ class ClassifierTrainer(SupervisedSRTrainer):
                 history[f"val_{k}"].append(v)
             history["lr"].append(float(state.lr))
             history["epoch_time_sec"].append(tt.epoch_times_sec[-1])
+            if metrics_logger is not None:
+                metrics_logger.log_epoch(epoch, {
+                    **train_m, **{f"val_{k}": v for k, v in val_m.items()},
+                    "lr": float(state.lr),
+                    "epoch_time_sec": tt.epoch_times_sec[-1]})
             if verbose:
                 print(f"epoch {epoch + 1}/{epochs} loss={train_m['loss']:.4f} "
                       f"acc={train_m['accuracy']:.4f} val_acc={val_m['accuracy']:.4f}")
@@ -318,9 +412,11 @@ class ClassifierTrainer(SupervisedSRTrainer):
 
     def evaluate(self, state: TrainState, x_test, y_test, batch_size=32):
         agg = {"loss": [], "accuracy": []}
-        for xb, yb in self._batches(x_test, y_test, batch_size,
-                                    np.random.default_rng(0), shuffle=False):
-            m = self.eval_step(state, xb, yb)
+        ns = []
+        for xb, yb, wb in self._batches(x_test, y_test, batch_size,
+                                        np.random.default_rng(0), shuffle=False):
+            m = self._eval_step_w(state, xb, yb, wb)
             for k in agg:
                 agg[k].append(m[k])
-        return {k: float(np.mean(jax.device_get(v))) for k, v in agg.items()}
+            ns.append(m["n"])
+        return {k: self._epoch_mean(v, ns) for k, v in agg.items()}
