@@ -78,10 +78,18 @@ def test_cli_pipeline(tiny_dataset, tmp_path):
           "--class-map", str(tiny_dataset / "cmap.pkl"),
           "--out", str(out), "--batch-size", "2"])
     res = json.load(open(out / "pipeline_results.json"))
-    assert "bicubic" in res
-    assert 0.0 <= res["bicubic"]["accuracy"] <= 1.0
+    # all four classic interpolators compared by default
+    for method in ("bilinear", "bicubic", "area", "lanczos4"):
+        assert method in res, method
+        assert 0.0 <= res[method]["accuracy"] <= 1.0
+        assert res[method]["psnr_mean"] > 5.0
     assert (out / "cls_report_summary.png").exists()
     assert (out / "sr_confidence_panel.png").exists()
+    # full reporting surface (deep_lerning_visualizations parity)
+    assert (out / "confusion_matrices.png").exists()
+    assert (out / "sr_metrics_panel.png").exists()
+    assert (out / "sr_time_panel.png").exists()
+    assert (out / "sr_memory_panel.png").exists()
 
 
 def test_eda_pipeline(tiny_dataset, tmp_path):
@@ -118,15 +126,28 @@ def test_glcm_features_properties():
 
 
 def test_cli_pipeline_with_checkpoints(tiny_dataset, tmp_path):
-    """The --vgg16-ckpt / --edsr-ckpt flags must actually load the weights."""
+    """All four deep-model flags (--vgg16/srcnn/edsr/esrgan-ckpt) must load
+    and run; SRCNN pre-upscales, ESRGAN maps through [-1,1]."""
     from tpusr.cli.__main__ import main
-    from tpusr.models.api import EDSR as EDSRFacade, FineTunedVGG16
+    from tpusr.models.api import (EDSR as EDSRFacade, ESRGAN as ESRGANFacade,
+                                  FineTunedVGG16, SRCNNModel)
 
     # train-and-save tiny models via the facades
     edsr = EDSRFacade()
     edsr.setup_model(scale_factor=2, num_res_blocks=1)
     edsr.trained = True
     edsr_path = edsr.save(str(tmp_path / "ck"), "t")
+
+    srcnn = SRCNNModel()
+    srcnn.setup_model()
+    srcnn._trained = True
+    srcnn_path = srcnn.save(str(tmp_path / "ck"), "t")
+
+    esr = ESRGANFacade()
+    esr.setup_model(scale_factor=2, growth_channels=4, num_rrdb_blocks=1,
+                    input_shape=(24, 24, 3), output_shape=(48, 48, 3))
+    esr.trained = True
+    esr_path = esr.save(str(tmp_path / "ck"), "t")
 
     vgg = FineTunedVGG16()
     vgg.setup_model(input_shape=(96, 96, 3), num_classes=2)
@@ -138,7 +159,12 @@ def test_cli_pipeline_with_checkpoints(tiny_dataset, tmp_path):
           "--hr-dir", str(tiny_dataset / "HR"),
           "--class-map", str(tiny_dataset / "cmap.pkl"),
           "--out", str(out), "--batch-size", "2",
-          "--vgg16-ckpt", vgg_path, "--edsr-ckpt", edsr_path])
+          "--classic-methods", "bicubic",
+          "--vgg16-ckpt", vgg_path, "--srcnn-ckpt", srcnn_path,
+          "--edsr-ckpt", edsr_path, "--esrgan-ckpt", esr_path])
     import json
     res = json.load(open(out / "pipeline_results.json"))
-    assert "edsr" in res and "bicubic" in res
+    for method in ("bicubic", "srcnn", "edsr", "esrgan"):
+        assert method in res, method
+        assert "psnr_mean" in res[method]
+    assert (out / "sr_metrics_panel.png").exists()

@@ -264,16 +264,59 @@ def cmd_train_vgg16(args):
               res.time_tracker, res.memory_tracker)
 
 
+def _ckpt_sidecar_metrics(ckpt_path):
+    """train/val/eval metric dict from a _save_run checkpoint sidecar, in the
+    plot_sr_metrics/time/memory key schema."""
+    from tpusr.train.checkpoint import load_metadata
+
+    meta = load_metadata(os.path.dirname(ckpt_path) or ".",
+                         os.path.basename(ckpt_path)) or {}
+    hist = meta.get("history", {})
+    ev = meta.get("eval", {})
+    out = {}
+    for met in ("loss", "psnr", "ssim"):
+        if hist.get(met):
+            out[f"train_{met}"] = hist[met][-1]
+        # the GAN history uses g_loss
+        elif met == "loss" and hist.get("g_loss"):
+            out["train_loss"] = hist["g_loss"][-1]
+        if hist.get(f"val_{met}"):
+            out[f"val_{met}"] = hist[f"val_{met}"][-1]
+        if met in ev:
+            out[f"eval_{met}"] = ev[met]
+    for src, dst in (("avg_g_loss", "eval_loss"), ("avg_psnr", "eval_psnr"),
+                     ("avg_ssim", "eval_ssim")):
+        if src in ev:
+            out[dst] = ev[src]
+    times = meta.get("epoch_time_sec") or []
+    if times:
+        out["train_epoch_time_sec"] = float(sum(times) / len(times))
+    mem = meta.get("memory") or {}
+    if mem.get("gpu_mean_current_mb") is not None:
+        out["train_mem_mean_mb"] = mem["gpu_mean_current_mb"]
+    if mem.get("gpu_peak_mb") is not None:
+        out["train_mem_peak_mb"] = mem["gpu_peak_mb"]
+    return out
+
+
 def cmd_pipeline(args):
     """End-to-end LR -> SR (per method) -> classify comparison — the missing
-    defect_detection_pipeline notebook."""
+    defect_detection_pipeline notebook (SURVEY §0). Wires the classic
+    interpolators plus any trained SRCNN/EDSR/ESRGAN checkpoints, and emits the
+    full deep_lerning_visualizations reporting surface (classification
+    reports, confidence, confusion matrices, sr metrics/time/memory panels)."""
     import jax
     import jax.numpy as jnp
+    import matplotlib.pyplot as plt
     from tpusr.data import load_predictions_dataset
     from tpusr.core.resize import resize
     from tpusr.pipeline import run_defect_detection_comparison
-    from tpusr.viz import plot_classification_reports_panel, plot_confidence_panel
-    from tpusr.models.api import EDSR as EDSRFacade, FineTunedVGG16
+    from tpusr.train.profiling import device_memory_mb
+    from tpusr.viz import (plot_classification_reports_panel,
+                           plot_confidence_panel, plot_confusion,
+                           plot_sr_memory, plot_sr_metrics, plot_sr_time)
+    from tpusr.models.api import (EDSR as EDSRFacade, ESRGAN as ESRGANFacade,
+                                  FineTunedVGG16, SRCNNModel)
 
     x_lr, x_hr, y = load_predictions_dataset(args.lr_dir, args.hr_dir,
                                              args.class_map)
@@ -286,15 +329,45 @@ def cmd_pipeline(args):
                     pretrained_path=args.vgg16_ckpt)
     clf_apply = lambda p: vgg.module.apply({"params": vgg.state.params}, p)
 
-    sr_methods = {"bicubic": lambda x: jnp.clip(resize(x, hr_hw, "bicubic"), 0, 1)}
+    # classic interpolation baselines (classic_algorithms.py:7-21), on-device
+    interp_names = [m.strip() for m in args.classic_methods.split(",") if m.strip()]
+    sr_methods = {
+        name: (lambda x, n=name: jnp.clip(resize(x, hr_hw, n), 0.0, 1.0))
+        for name in interp_names
+    }
+    sidecars = {}
+    if args.srcnn_ckpt:
+        srcnn = SRCNNModel()
+        srcnn.setup_model(from_pretrained=True, pretrained_path=args.srcnn_ckpt)
+        # SRCNN consumes a pre-upscaled input (SRCNN_model.py:111-247):
+        # cv2-parity bicubic resize to HR size, then the residual net
+        sr_methods["srcnn"] = lambda x: jnp.clip(
+            srcnn.module.apply({"params": srcnn.state.params},
+                               resize(x, hr_hw, args.srcnn_interp)), 0.0, 1.0)
+        sidecars["srcnn"] = args.srcnn_ckpt
     if args.edsr_ckpt:
         edsr = EDSRFacade()
         edsr.setup_model(scale_factor=scale, from_pretrained=True,
                          pretrained_path=args.edsr_ckpt)
-        sr_methods["edsr"] = lambda x: edsr.module.apply(
-            {"params": edsr.state.params}, x)
+        sr_methods["edsr"] = lambda x: jnp.clip(
+            edsr.module.apply({"params": edsr.state.params}, x), 0.0, 1.0)
+        sidecars["edsr"] = args.edsr_ckpt
+    if args.esrgan_ckpt:
+        esr = ESRGANFacade()
+        esr.setup_model(scale_factor=scale, from_trained=True,
+                        generator_pretrained_path=args.esrgan_ckpt,
+                        discriminator_pretrained_path=args.esrgan_disc_ckpt)
+        # tanh generator works in [-1, 1] (ESRGAN_model.py:929,946)
+        sr_methods["esrgan"] = lambda x: jnp.clip(
+            (esr.generator.apply({"params": esr.state.g_params},
+                                 x * 2.0 - 1.0) + 1.0) / 2.0, 0.0, 1.0)
+        sidecars["esrgan"] = args.esrgan_ckpt
+
+    mem_before = device_memory_mb()
     results = run_defect_detection_comparison(sr_methods, clf_apply, x_lr, x_hr,
                                               y, batch_size=args.batch_size)
+    mem_after = device_memory_mb()
+
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "pipeline_results.json"), "w") as f:
         json.dump({k: {kk: vv for kk, vv in v.items()
@@ -302,12 +375,44 @@ def cmd_pipeline(args):
                                      "confusion_matrix")}
                    for k, v in results.items()}, f, indent=2, default=float)
     names = list(results)
+    class_names = ["low_z_offset", "high_z_offset"]
     plot_classification_reports_panel(
         y, names, [results[n]["predictions"] for n in names],
-        class_names=["low_z_offset", "high_z_offset"], save_dir=args.out)
+        class_names=class_names, save_dir=args.out)
     plot_confidence_panel(y, names, [results[n]["predictions"] for n in names],
                           [results[n]["confidences"] for n in names],
                           save_dir=args.out)
+
+    # per-method confusion-matrix grid (deep_lerning_visualizations.py:213-228)
+    ncols = min(3, len(names))
+    nrows = (len(names) + ncols - 1) // ncols
+    fig, axes = plt.subplots(nrows, ncols, figsize=(5 * ncols, 4.5 * nrows),
+                             squeeze=False)
+    for ax in axes.ravel()[len(names):]:
+        ax.axis("off")
+    for ax, n in zip(axes.ravel(), names):
+        plot_confusion(ax, results[n]["confusion_matrix"], class_names, n)
+    fig.tight_layout()
+    fig.savefig(os.path.join(args.out, "confusion_matrices.png"), dpi=150,
+                bbox_inches="tight")
+    plt.close(fig)
+
+    # sr metrics / time / memory panels: train-side stats from the checkpoint
+    # sidecars, inference-side stats measured in this run
+    metrics_per_model = {}
+    for n in names:
+        m = _ckpt_sidecar_metrics(sidecars[n]) if n in sidecars else {}
+        m["inference_time_sec"] = results[n]["time_sec"]
+        cur = (mem_before.get("current_mb"), mem_after.get("current_mb"))
+        pk = (mem_before.get("peak_mb"), mem_after.get("peak_mb"))
+        if all(v is not None for v in cur):
+            m["inference_mem_mean_mb"] = 0.5 * (cur[0] + cur[1])
+        if all(v is not None for v in pk):
+            m["inference_mem_peak_mb"] = max(pk)
+        metrics_per_model[n] = m
+    plot_sr_metrics(names, metrics_per_model, save_dir=args.out)
+    plot_sr_time(names, metrics_per_model, save_dir=args.out)
+    plot_sr_memory(names, metrics_per_model, save_dir=args.out)
 
 
 def cmd_eda(args):
@@ -386,7 +491,16 @@ def main(argv=None):
     sp.add_argument("--out", default="DL_results")
     sp.add_argument("--batch-size", type=int, default=16)
     sp.add_argument("--vgg16-ckpt", default=None)
+    sp.add_argument("--srcnn-ckpt", default=None)
+    sp.add_argument("--srcnn-interp", default="bicubic",
+                    help="pre-upscale interpolation for the SRCNN path")
     sp.add_argument("--edsr-ckpt", default=None)
+    sp.add_argument("--esrgan-ckpt", default=None)
+    sp.add_argument("--esrgan-disc-ckpt", default=None,
+                    help="required when --esrgan-ckpt is a Keras .h5")
+    sp.add_argument("--classic-methods",
+                    default="bilinear,bicubic,area,lanczos4",
+                    help="comma list of classic interpolators to compare")
     sp.set_defaults(fn=cmd_pipeline)
 
     sp = sub.add_parser("eda")
