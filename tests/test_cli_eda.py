@@ -57,6 +57,13 @@ def test_cli_train_srcnn(tiny_dataset, tmp_path):
     assert len(metas) == 1
     meta = json.load(open(out / metas[0]))
     assert "psnr" in meta["eval"] and "hr_h" in meta["eval"]
+    # observability: per-epoch JSONL + CSV land next to the checkpoint
+    from tpusr.train.logging import read_jsonl
+    jls = [f for f in os.listdir(out) if f.endswith(".metrics.jsonl")]
+    assert len(jls) == 1
+    recs = read_jsonl(str(out / jls[0]), scope="epoch")
+    assert len(recs) == 1 and "loss" in recs[0]
+    assert any(f.endswith(".metrics.csv") for f in os.listdir(out))
 
 
 def test_cli_train_vgg16(tiny_dataset, tmp_path):

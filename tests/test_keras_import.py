@@ -5,6 +5,8 @@ outputs at fp32 — the BASELINE parity criterion made executable."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # slow: TF golden-oracle suite
+
 import jax
 import jax.numpy as jnp
 

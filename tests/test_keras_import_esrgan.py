@@ -6,6 +6,8 @@ require matching outputs at fp32."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # slow: TF golden-oracle suite
+
 import jax
 import jax.numpy as jnp
 

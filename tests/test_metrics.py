@@ -4,6 +4,8 @@ numpy formulas (profiling_methods.py)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # slow: tf.image golden oracles
+
 from tpusr.metrics import (
     psnr, ssim, mae, rmse, sobel_mag, gradient_mse, epi,
     hf_energy_ratio, kl_divergence, kl_divergence_color,

@@ -143,3 +143,48 @@ def test_fused_pipeline_chunked_matches_unchunked():
     np.testing.assert_allclose(np.asarray(sr_a), np.asarray(sr_b), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(cls_a), np.asarray(cls_b))
     np.testing.assert_allclose(np.asarray(conf_a), np.asarray(conf_b), atol=1e-6)
+
+
+def test_facade_inference_cache_no_growth():
+    """ADVICE r1 medium: repeated facade calls must hit the compiled-fn cache
+    (no unbounded growth, no per-call re-tracing) because the facade caches
+    its params-bound apply fn."""
+    from tpusr.models.api import EDSR as EDSRFacade, FineTunedVGG16
+    from tpusr.pipeline import inference as inf
+
+    edsr = EDSRFacade()
+    edsr.setup_model(scale_factor=2, num_res_blocks=1)
+    edsr.trained = True
+    vgg = FineTunedVGG16()
+    vgg.setup_model(input_shape=(32, 32, 3), num_classes=2)
+    vgg.trained = True
+
+    rng = np.random.default_rng(0)
+    img = rng.random((20, 20, 3)).astype(np.float32)
+    patch_img = rng.random((40, 40, 3)).astype(np.float32)
+
+    edsr.super_resolve_image(img, patch_size_lr=16, stride=8)
+    vgg.classify_defects_method(patch_img)
+    size_after_first = len(inf._SR_FN_CACHE)
+    for _ in range(5):
+        edsr.super_resolve_image(img, patch_size_lr=16, stride=8)
+        vgg.classify_defects_method(patch_img)
+    assert len(inf._SR_FN_CACHE) == size_after_first
+
+    # replacing the facade state invalidates the bound fn (fresh key), and
+    # the LRU stays bounded
+    edsr.state = edsr.state.replace(
+        params=jax.tree.map(lambda a: a + 0.0, edsr.state.params))
+    edsr.super_resolve_image(img, patch_size_lr=16, stride=8)
+    assert len(inf._SR_FN_CACHE) <= inf._SR_FN_CACHE_MAX
+
+
+def test_interp_code_passthrough():
+    """ADVICE r1 low: unrecognized cv2 int codes pass through to cv2.resize."""
+    import cv2
+    from tpusr.data.loading import resolve_cv2_interp
+
+    assert resolve_cv2_interp(cv2.INTER_NEAREST) == cv2.INTER_NEAREST
+    assert resolve_cv2_interp(5) == 5  # INTER_LINEAR_EXACT, not in any map
+    assert resolve_cv2_interp("INTER_LANCZOS4") == cv2.INTER_LANCZOS4
+    assert resolve_cv2_interp("unknown") == cv2.INTER_CUBIC

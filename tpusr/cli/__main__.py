@@ -41,6 +41,7 @@ def _timestamp():
 
 def _save_run(out_dir, name, state, history, eval_metrics, tt, mt):
     from tpusr.train import save_checkpoint
+    from tpusr.train.logging import MetricsLogger, jsonl_to_csv
 
     ts = _timestamp()
     meta = {
@@ -51,6 +52,17 @@ def _save_run(out_dir, name, state, history, eval_metrics, tt, mt):
         "timestamp": ts,
     }
     path = save_checkpoint(out_dir, f"{name}_{ts}", state, metadata=meta)
+    # observability sidecar: per-epoch JSONL + CSV next to the checkpoint
+    jl = os.path.join(out_dir, f"{name}_{ts}.metrics.jsonl")
+    epochs = max((len(v) for v in history.values() if isinstance(v, list)),
+                 default=0)
+    with MetricsLogger(jl, run_name=f"{name}_{ts}") as logger:
+        for e in range(epochs):
+            rec = {k: v[e] for k, v in history.items()
+                   if isinstance(v, list) and len(v) > e}
+            logger.log_epoch(e, rec)
+        logger.log("eval", epochs, eval_metrics)
+    jsonl_to_csv(jl, jl[: -len(".jsonl")] + ".csv", scope="epoch")
     print(f"saved {path}")
     return path
 

@@ -95,6 +95,21 @@ def resolve_interp_method(value) -> str:
     return "bicubic"
 
 
+def resolve_cv2_interp(value) -> int:
+    """Map an interpolation_map entry to a cv2 flag for host resizing. The
+    reference passes int map codes straight to cv2.resize — unrecognized ints
+    (e.g. cv2.INTER_NEAREST == 0) pass through unchanged rather than silently
+    becoming bicubic."""
+    names = {"INTER_LINEAR": cv2.INTER_LINEAR, "INTER_CUBIC": cv2.INTER_CUBIC,
+             "INTER_AREA": cv2.INTER_AREA, "INTER_LANCZOS4": cv2.INTER_LANCZOS4,
+             "INTER_NEAREST": cv2.INTER_NEAREST}
+    if isinstance(value, str):
+        return names.get(value, cv2.INTER_CUBIC)
+    if isinstance(value, (int, np.integer)):
+        return int(value)
+    return cv2.INTER_CUBIC
+
+
 def load_dataset_as_patches(hr_root, lr_root, mode="srcnn", patch_size=33,
                             stride=14, scale_factor=2,
                             interpolation_map_path=None):
@@ -133,12 +148,12 @@ def load_dataset_as_patches(hr_root, lr_root, mode="srcnn", patch_size=33,
         hr_h, hr_w = hr_img.shape[:2]
 
         if mode == "srcnn":
-            method = "bicubic"
+            flag = cv2.INTER_CUBIC
             if interpolation_map is not None:
-                method = resolve_interp_method(interpolation_map.get(fname, "bicubic"))
-            # cv2-parity resize on host for loader fidelity (float path)
-            flag = {"bilinear": cv2.INTER_LINEAR, "bicubic": cv2.INTER_CUBIC,
-                    "area": cv2.INTER_AREA, "lanczos4": cv2.INTER_LANCZOS4}[method]
+                # any cv2 code in the map goes straight to cv2.resize
+                # (reference loading_methods.py passes codes through verbatim)
+                flag = resolve_cv2_interp(
+                    interpolation_map.get(fname, "INTER_CUBIC"))
             lr_up = cv2.resize(lr_img, (hr_w, hr_h), interpolation=flag)
             lr_up = np.clip(lr_up, 0.0, 1.0)
             hr_proc = add_padding(hr_img, patch_size, stride)

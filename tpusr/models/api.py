@@ -33,6 +33,20 @@ def _is_h5(path):
     return isinstance(path, str) and path.endswith(".h5")
 
 
+def _bound_fn(obj, cache_attr, params, build):
+    """Cache a params-bound apply fn on the facade, keyed on params identity.
+
+    Fresh lambdas per call would defeat the compiled-fn cache in
+    tpusr.pipeline.inference (keyed on id(apply_fn)) — every
+    super_resolve_image/classify call would re-trace. Invalidates whenever the
+    facade's state (and thus the params object) is replaced."""
+    cached = getattr(obj, cache_attr, None)
+    if cached is None or cached[0] is not params:
+        cached = (params, build(params))
+        setattr(obj, cache_attr, cached)
+    return cached[1]
+
+
 def _saved_arch(pretrained_path):
     """Architecture config stored in a facade checkpoint's sidecar, if any."""
     if pretrained_path is None or _is_h5(pretrained_path):
@@ -97,7 +111,9 @@ class SRCNNModel:
                             interpolation="bicubic"):
         if not self._trained:
             raise RuntimeError("Model has not been trained.")
-        apply_fn = lambda p: self.module.apply({"params": self.state.params}, p)
+        apply_fn = _bound_fn(
+            self, "_apply_cache", self.state.params,
+            lambda params: lambda p: self.module.apply({"params": params}, p))
         return srcnn_super_resolve(apply_fn, lr_img, hr_h, hr_w,
                                    patch_size=patch_size, stride=stride,
                                    interpolation=interpolation)
@@ -191,7 +207,9 @@ class EDSR:
             raise RuntimeError("Model has not been trained.")
         if self.scale_factor is None:
             raise ValueError("scale_factor is not set. Call setup_model first.")
-        apply_fn = lambda p: self.module.apply({"params": self.state.params}, p)
+        apply_fn = _bound_fn(
+            self, "_apply_cache", self.state.params,
+            lambda params: lambda p: self.module.apply({"params": params}, p))
         return super_resolve_image(apply_fn, lr_img, patch_size_lr=patch_size_lr,
                                    stride=stride, scale=self.scale_factor)
 
@@ -307,8 +325,9 @@ class ESRGAN:
                             batch_size=16):
         if not self.trained:
             raise RuntimeError("Model has not been trained or loaded.")
-        apply_fn = lambda p: self.generator.apply(
-            {"params": self.state.g_params}, p)
+        apply_fn = _bound_fn(
+            self, "_apply_cache", self.state.g_params,
+            lambda params: lambda p: self.generator.apply({"params": params}, p))
         return super_resolve_image(apply_fn, lr_img, patch_size_lr=patch_size_lr,
                                    stride=stride, scale=self.scale_factor,
                                    normalize_pm1=True)
@@ -428,7 +447,9 @@ class FineTunedVGG16:
             raise ValueError("image must be HxWx3 RGB array")
         if patch_size is None:
             patch_size = int(self.input_shape[0])
-        clf = lambda p: self.module.apply({"params": self.state.params}, p)
+        clf = _bound_fn(
+            self, "_apply_cache", self.state.params,
+            lambda params: lambda p: self.module.apply({"params": params}, p))
         return classify_defects(clf, img, patch=patch_size, stride=stride)
 
     def save(self, directory, timestamp):

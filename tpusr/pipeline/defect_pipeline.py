@@ -60,9 +60,20 @@ def make_patch_classifier(clf_apply, image_hw: tuple[int, int], patch: int,
 
 
 def classify_defects(clf_apply, image, patch: int, stride: int | None = None):
-    """One-shot patch-vote classification (classify_defects_method parity)."""
+    """One-shot patch-vote classification (classify_defects_method parity).
+
+    Compiled classifiers are cached per (clf_apply, shape, patch, stride) —
+    looping over a dataset (the reference's usage pattern) re-traces nothing.
+    """
+    from tpusr.pipeline.inference import _cache_get, _cache_put
+
     image = jnp.asarray(np.asarray(image, np.float32))
-    fn = make_patch_classifier(clf_apply, image.shape[:2], patch, stride)
+    key = ("clf", id(clf_apply), image.shape[:2], patch, stride)
+    fn = _cache_get(key, clf_apply)
+    if fn is None:
+        fn = _cache_put(key, clf_apply,
+                        make_patch_classifier(clf_apply, image.shape[:2],
+                                              patch, stride))
     cls, conf = fn(image)
     return int(cls), float(conf)
 

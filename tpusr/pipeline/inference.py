@@ -94,19 +94,27 @@ def super_resolve_image(apply_fn, lr_img, patch_size_lr: int = 48,
 
 # Cache values hold a reference to the keyed apply_fn: id() is only unique
 # among live objects, so keeping it alive prevents a recycled id from
-# resolving to a stale compiled closure over old weights.
-_SR_FN_CACHE: dict = {}
+# resolving to a stale compiled closure over old weights. LRU-bounded so a
+# loop over many shapes/models cannot pin compiled executables without limit.
+from collections import OrderedDict
+
+_SR_FN_CACHE: OrderedDict = OrderedDict()
+_SR_FN_CACHE_MAX = 32
 
 
 def _cache_get(key, apply_fn):
     entry = _SR_FN_CACHE.get(key)
     if entry is not None and entry[1] is apply_fn:
+        _SR_FN_CACHE.move_to_end(key)
         return entry[0]
     return None
 
 
 def _cache_put(key, apply_fn, fn):
     _SR_FN_CACHE[key] = (fn, apply_fn)
+    _SR_FN_CACHE.move_to_end(key)
+    while len(_SR_FN_CACHE) > _SR_FN_CACHE_MAX:
+        _SR_FN_CACHE.popitem(last=False)
     return fn
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import Future
 
 import numpy as np
@@ -79,10 +80,15 @@ class PipelineServer:
             if first is None:
                 continue
             batch = [first]
-            deadline = self.max_wait
+            # absolute deadline from the FIRST item: max_wait caps total
+            # coalescing latency, not each per-item wait
+            deadline = time.monotonic() + self.max_wait
             while len(batch) < self.batch_size:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
                 try:
-                    item = self._q.get(timeout=deadline)
+                    item = self._q.get(timeout=remaining)
                 except queue.Empty:
                     break
                 if item is None:
