@@ -263,8 +263,8 @@ class ESRGAN:
             jax.random.PRNGKey(0),
             jnp.zeros((1,) + tuple(output_shape)))["params"]
         if vgg19_weights_path:
-            from tpusr.models.vgg import load_keras_h5_weights
-            vgg_params = load_keras_h5_weights(vgg_params, vgg19_weights_path,
+            from tpusr.tools.imagenet_weights import load_backbone_weights
+            vgg_params = load_backbone_weights(vgg_params, vgg19_weights_path,
                                                "vgg19")
         self.trainer = ESRGANTrainer(self.generator, self.discriminator,
                                      self.vgg_model, vgg_params,
@@ -396,8 +396,8 @@ class FineTunedVGG16:
         self.state = self.trainer.init_state(sample,
                                              jax.random.PRNGKey(RANDOM_SEED))
         if imagenet_weights_path:
-            from tpusr.models.vgg import load_keras_h5_weights
-            params = load_keras_h5_weights(self.state.params,
+            from tpusr.tools.imagenet_weights import load_backbone_weights
+            params = load_backbone_weights(self.state.params,
                                            imagenet_weights_path, "vgg16")
             self.state = self.state.replace(params=params)
         if from_pretrained:
