@@ -35,6 +35,8 @@ def main():
     import jax.numpy as jnp
 
     from tpusr.models import EDSR, VGG16Classifier
+    from tpusr.models.edsr_fast import make_fused_sr_apply
+    from tpusr.models.layers import pixel_shuffle
     from tpusr.core.pad import pad_amounts
     from tpusr.core.patches import patchify, patch_grid_size
     from tpusr.pipeline.defect_pipeline import _vote
@@ -76,9 +78,17 @@ def main():
     pad_h, pad_w = pad_amounts(hr, hr, patch, stride)
     nh, nw = patch_grid_size(hr + pad_h, hr + pad_w, patch, stride)
 
+    # fused linear tail: EDSR's upsample tail (up convs + pixel shuffles +
+    # final conv) has no nonlinearities, so it collapses into ONE composed
+    # conv in polyphase space (5.6x fewer tail FLOPs, zero shuffle-relayout
+    # copies; exact incl. borders — tests/test_edsr_fast.py). The interleave
+    # runs after int8 quantization (3-channel, ~50x fewer bytes).
+    sr_fused, r_last = make_fused_sr_apply(sv["params"], scale, dtype=dtype)
+
     def one_iter(x):
-        sr = sr_model.apply(sv, x.astype(dtype))
-        srq = pre_quant(sr)
+        sr_p = sr_fused(x)                  # (N, 128, 128, scale^2*3), [0,1]
+        srq_p = pre_quant(sr_p)
+        srq = pixel_shuffle(srq_p, r_last)  # int8 interleave: 3 channels
 
         def per_image(img):
             padded = jnp.pad(img, ((0, pad_h), (0, pad_w), (0, 0)),
@@ -88,10 +98,11 @@ def main():
         patches = jax.vmap(per_image)(srq)
         flat = patches.reshape((-1,) + patches.shape[2:])
         probs = clf_apply(flat).astype(jnp.float32)
-        probs = probs.reshape(sr.shape[0], nh * nw, -1)
+        probs = probs.reshape(sr_p.shape[0], nh * nw, -1)
         classes, confs = jax.vmap(_vote)(probs)
-        # data-dependent feedback: next LR derives from this SR + vote result
-        nxt = (sr[:, ::scale, ::scale, :].astype(jnp.float32)
+        # data-dependent feedback: next LR derives from this SR + vote result;
+        # sr[::scale, ::scale] == polyphase phase (0, 0) channels
+        nxt = (sr_p[..., :3].astype(jnp.float32)
                + confs[:, None, None, None] * 1e-6)
         return nxt
 
