@@ -94,3 +94,20 @@ def test_pallas_conv_int8_bit_exact():
                                0, 127).astype(jnp.int8))
     got = np.asarray(conv3x3_int8_requant(x, w, rs, b, interpret=interpret))
     np.testing.assert_array_equal(got, want)
+
+
+def test_dualize_conv_kernel_exact():
+    """Dual-pixel refactor computes the SAME sums as the 3x3 SAME conv
+    (int8 exact; kept as a building block — see PERF.md round 2)."""
+    from tpusr.models.edsr_fast import _conv_dual, dualize_conv_kernel
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(-127, 128, (2, 10, 12, 8)).astype(np.int8)
+    k = rng.integers(-127, 128, (3, 3, 8, 16)).astype(np.int8)
+    b = np.zeros(16, np.float32)
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(x, jnp.float32), jnp.asarray(k, jnp.float32), (1, 1),
+        "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    k2 = jnp.asarray(dualize_conv_kernel(k.astype(np.float32)))
+    got = _conv_dual(k2, jnp.asarray(b), jnp.asarray(x, jnp.float32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)

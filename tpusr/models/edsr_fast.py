@@ -55,6 +55,39 @@ def polyphase_tail_kernel(w_tail: np.ndarray, r: int) -> np.ndarray:
     return w
 
 
+def dualize_conv_kernel(k: np.ndarray) -> np.ndarray:
+    """(3, 3, cin, cout) SAME-conv kernel -> (3, 4, cin, 2*cout) dual-pixel
+    kernel computing two horizontally adjacent output pixels per GEMM row.
+
+    EDSR's 64 feature channels fill only half the MXU's 128 lanes; emitting
+    the pixel pair (w=2j, 2j+1) as 2*cout=128 channels of a stride-(1, 2)
+    conv over the union window (input cols 2j-1..2j+2, i.e. kernel width 4
+    with explicit padding (1, 2)) doubles lane occupancy for 4/3 the FLOPs.
+    Exact: the extra taps are zero, so each output is the same sum as the
+    original conv. Measured 1.28x on an isolated bf16 body conv but a net
+    LOSS inside the EDSR body (paired->unpaired relayout per conv; PERF.md
+    round 2) — kept as a building block, not used by the fused SR path.
+    """
+    kh, kw, cin, cout = k.shape
+    assert (kh, kw) == (3, 3), "dual-pixel refactor written for 3x3 kernels"
+    k2 = np.zeros((3, 4, cin, 2 * cout), np.asarray(k).dtype)
+    k2[:, 0:3, :, :cout] = k     # even output pixel: window cols 0..2
+    k2[:, 1:4, :, cout:] = k     # odd output pixel: window cols 1..3
+    return k2
+
+
+def _conv_dual(k2, b, x, precision=None):
+    """Apply a ``dualize_conv_kernel`` kernel: x (N, H, W, cin) with W even
+    -> (N, H, W, cout), numerically the SAME-conv with the original kernel."""
+    n, h, w, _ = x.shape
+    cout = k2.shape[-1] // 2
+    y = jax.lax.conv_general_dilated(
+        x, k2, (1, 2), [(1, 1), (1, 2)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision)
+    y = y + jnp.concatenate([b, b])
+    return y.reshape(n, h, w // 2, 2, cout).reshape(n, h, w, cout)
+
+
 def _conv(p, x, dtype=None, precision=None):
     k = p["kernel"]
     b = p["bias"]
@@ -198,6 +231,12 @@ def make_fused_sr_apply(params: dict, scale_factor: int,
     exactly, including borders: the composed conv covers the interior and a
     ``pad``-cell border band is recomputed with the chained reference tail
     on thin slabs (<= 4*(2*pad+1)/H of the tail cost).
+
+    Note: the body convs deliberately stay in the plain 3x3x64 form — the
+    dual-pixel transform (``dualize_conv_kernel``) is 1.28x faster on an
+    isolated conv but 0.79x in-net (the paired->unpaired relayout after
+    every conv costs more than the lane fill saves; XLA's in-net body already
+    runs at ~59% of bf16 peak). Measurements in PERF.md round 2.
     """
     s = scale_factor
     w_eff, b_eff, pad = fused_tail_kernel(
