@@ -112,13 +112,18 @@ def main():
     lr_batch = jnp.asarray(
         np.random.default_rng(0).random((batch, *lr_hw, 3), dtype=np.float32))
 
+    # hard sync: on the axon tunnel, block_until_ready can return before the
+    # TPU finishes (observed: chained train steps "measured" 30x past peak
+    # FLOPs); a one-element device->host transfer is an unambiguous barrier.
+    hard_sync = lambda a: np.asarray(a[0, 0, 0, 0])
+
     out = chain(lr_batch)           # warm-up / compile
-    jax.block_until_ready(out)
+    hard_sync(out)
 
     t0 = time.perf_counter()
     for _ in range(reps):
         out = chain(out)
-    jax.block_until_ready(out)
+    hard_sync(out)
     dt = time.perf_counter() - t0
     ips = batch * n_chain * reps / dt
 

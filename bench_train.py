@@ -1,0 +1,73 @@
+"""Training-throughput benchmark vs the reference's epoch times.
+
+Reference headline numbers (BASELINE.md, single unnamed GPU):
+- SRCNN: 8,436 steps/epoch (batch 32, 24x24 patches) in ~36-50 s
+- EDSR x2: 4,520 steps/epoch (batch 16, 24->48 patches) in ~127-206 s
+
+This measures the tpusr jit'd train steps at the same batch/patch geometry
+on one TPU chip and reports the epoch-equivalent wall time. Methodology:
+steps chain inside one jit (`fori_loop`) so tunnel RTT is amortized, and
+timing ends with a one-element device->host transfer — on the axon tunnel
+``block_until_ready`` can return before the TPU finishes (observed: chained
+train steps "timed" far past peak FLOPs without it). Chain results are
+bit-identical to the same number of individually dispatched steps (verified
+during development). Prints one JSON line per model.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def bench_supervised(name, model, batch, x_hw, y_hw, steps_per_epoch,
+                     ref_epoch_s, n_chain=100, reps=3):
+    import jax
+    import jax.numpy as jnp
+    from tpusr.train.trainer import SupervisedSRTrainer
+
+    trainer = SupervisedSRTrainer(model, learning_rate=1e-4)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((batch, *x_hw, 3), np.float32))
+    y = jnp.asarray(rng.random((batch, *y_hw, 3), np.float32))
+    state = trainer.init_state(x[:1])
+
+    def chain(state, x, y):
+        return jax.lax.fori_loop(
+            0, n_chain, lambda i, st: trainer.train_step(st, x, y)[0], state)
+
+    jchain = jax.jit(chain)
+    hard_sync = lambda st: np.asarray(
+        jax.tree.leaves(st.params)[0]).ravel()[0]
+
+    state = jchain(state, x, y)
+    hard_sync(state)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state = jchain(state, x, y)
+        hard_sync(state)
+        best = min(best, (time.perf_counter() - t0) / n_chain)
+    epoch_s = best * steps_per_epoch
+    print(json.dumps({
+        "model": name, "batch": batch,
+        "step_us": round(best * 1e6, 1),
+        "epoch_equivalent_s": round(epoch_s, 2),
+        "reference_epoch_s": ref_epoch_s,
+        "speedup_vs_reference_low": round(ref_epoch_s[0] / epoch_s, 1),
+    }))
+
+
+def main():
+    from tpusr.models import EDSR, SRCNN
+
+    # SRCNN: pre-upscaled 24x24 patches, batch 32, 8,436 steps/epoch
+    bench_supervised("srcnn", SRCNN(), 32, (24, 24), (24, 24),
+                     8436, (36, 50))
+    # EDSR x2: 24 -> 48 patches, batch 16, 4,520 steps/epoch
+    bench_supervised("edsr_x2", EDSR(scale_factor=2), 16, (24, 24), (48, 48),
+                     4520, (127, 206))
+
+
+if __name__ == "__main__":
+    main()
