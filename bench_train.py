@@ -58,6 +58,53 @@ def bench_supervised(name, model, batch, x_hw, y_hw, steps_per_epoch,
     }))
 
 
+def bench_gan(n_chain=50, reps=3):
+    """ESRGAN adversarial step at the notebook config (scale 2, growth 8,
+    4 RRDB blocks, batch 16, 24->48 patches). The reference dispatches this
+    eagerly from Python with >= 3 generator forwards per step
+    (ESRGAN_model.py:475-533,713-721); here D-update + G-update + metrics
+    are one compiled graph with a single G forward per update."""
+    import jax
+    import jax.numpy as jnp
+    from tpusr.models import (ESRGANDiscriminator, ESRGANGenerator,
+                              VGG19Features)
+    from tpusr.train.gan import ESRGANTrainer
+
+    rng = np.random.default_rng(0)
+    gen = ESRGANGenerator(scale_factor=2, growth_channels=8, num_rrdb_blocks=4)
+    disc = ESRGANDiscriminator()
+    vgg = VGG19Features()
+    vgg_params = vgg.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 48, 48, 3)))["params"]
+    trainer = ESRGANTrainer(gen, disc, vgg, vgg_params)
+    state = trainer.init_state((24, 24, 3), (48, 48, 3))
+    x = jnp.asarray(rng.random((16, 24, 24, 3), np.float32) * 2 - 1)
+    y = jnp.asarray(rng.random((16, 48, 48, 3), np.float32) * 2 - 1)
+
+    def chain(state, x, y):
+        return jax.lax.fori_loop(
+            0, n_chain, lambda i, st: trainer.train_step(st, x, y)[0], state)
+
+    jchain = jax.jit(chain)
+    hard_sync = lambda st: np.asarray(
+        jax.tree.leaves(st.g_params)[0]).ravel()[0]
+    state = jchain(state, x, y)
+    hard_sync(state)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state = jchain(state, x, y)
+        hard_sync(state)
+        best = min(best, (time.perf_counter() - t0) / n_chain)
+    print(json.dumps({
+        "model": "esrgan_gan_step", "batch": 16,
+        "step_ms": round(best * 1e3, 2),
+        "steps_per_sec": round(1.0 / best, 1),
+        "note": "one fused D+G graph, 1 G-forward per update vs the "
+                "reference's >=3 eager forwards per step",
+    }))
+
+
 def main():
     from tpusr.models import EDSR, SRCNN
 
@@ -67,6 +114,7 @@ def main():
     # EDSR x2: 24 -> 48 patches, batch 16, 4,520 steps/epoch
     bench_supervised("edsr_x2", EDSR(scale_factor=2), 16, (24, 24), (48, 48),
                      4520, (127, 206))
+    bench_gan()
 
 
 if __name__ == "__main__":
