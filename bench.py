@@ -41,15 +41,16 @@ def main():
     from tpusr.core.patches import patchify, patch_grid_size
     from tpusr.pipeline.defect_pipeline import _vote
 
-    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    use_int8 = os.environ.get("BENCH_INT8", "1") == "1"
+    # bf16/f32 classifier patches are 4x the int8 ones: batch 128 needs
+    # ~28 G HBM of the chip's 15.75 G, so the non-int8 paths default lower
+    batch = int(os.environ.get("BENCH_BATCH", "128" if use_int8 else "64"))
     n_chain = int(os.environ.get("BENCH_CHAIN", "3"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     lr_hw = (128, 128)
     scale = 4
     patch, stride = 96, 48
     dtype = jnp.bfloat16 if os.environ.get("BENCH_BF16", "1") == "1" else jnp.float32
-
-    use_int8 = os.environ.get("BENCH_INT8", "1") == "1"
 
     sr_model = EDSR(scale_factor=scale)
     clf_model = VGG16Classifier(num_classes=2)
