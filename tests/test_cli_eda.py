@@ -166,12 +166,14 @@ def test_cli_pipeline_with_checkpoints(tiny_dataset, tmp_path):
           "--hr-dir", str(tiny_dataset / "HR"),
           "--class-map", str(tiny_dataset / "cmap.pkl"),
           "--out", str(out), "--batch-size", "2",
-          "--classic-methods", "bicubic",
+          "--classic-methods", "bicubic,lanczos",
           "--vgg16-ckpt", vgg_path, "--srcnn-ckpt", srcnn_path,
           "--edsr-ckpt", edsr_path, "--esrgan-ckpt", esr_path])
     import json
     res = json.load(open(out / "pipeline_results.json"))
-    for method in ("bicubic", "srcnn", "edsr", "esrgan"):
+    # "lanczos" is the reference's name for the lanczos4 kernel — the CLI
+    # must alias it (regression: it crashed mid-run before round 2)
+    for method in ("bicubic", "lanczos", "srcnn", "edsr", "esrgan"):
         assert method in res, method
         assert "psnr_mean" in res[method]
     assert (out / "sr_metrics_panel.png").exists()

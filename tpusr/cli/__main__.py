@@ -341,10 +341,13 @@ def cmd_pipeline(args):
                     pretrained_path=args.vgg16_ckpt)
     clf_apply = lambda p: vgg.module.apply({"params": vgg.state.params}, p)
 
-    # classic interpolation baselines (classic_algorithms.py:7-21), on-device
+    # classic interpolation baselines (classic_algorithms.py:7-21), on-device;
+    # accept the reference's method name "lanczos" for the lanczos4 kernel
+    _interp_alias = {"lanczos": "lanczos4"}
     interp_names = [m.strip() for m in args.classic_methods.split(",") if m.strip()]
     sr_methods = {
-        name: (lambda x, n=name: jnp.clip(resize(x, hr_hw, n), 0.0, 1.0))
+        name: (lambda x, n=_interp_alias.get(name, name):
+               jnp.clip(resize(x, hr_hw, n), 0.0, 1.0))
         for name in interp_names
     }
     sidecars = {}
