@@ -9,6 +9,8 @@ import cv2
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # CLI end-to-end drives (several minutes)
+
 
 @pytest.fixture(scope="module")
 def tiny_dataset(tmp_path_factory):

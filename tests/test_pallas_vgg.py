@@ -66,6 +66,7 @@ def test_extract_patches_reference_matches_loader_grid():
                                   np.asarray(img[0, :96, :96, :]))
 
 
+@pytest.mark.slow  # interpret-mode kernel run (~1 min on CPU)
 def test_block1_kernel_bit_exact_vs_reference():
     rng = np.random.default_rng(3)
     q = _fake_qtree(rng)

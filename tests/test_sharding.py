@@ -97,7 +97,7 @@ def test_dryrun_multichip_4_devices():
     ge.dryrun_multichip(4)
 
 
-@pytest.mark.slow
+@pytest.mark.slow  # clean-subprocess bootstrap (~2 min)
 def test_dryrun_multichip_clean_subprocess():
     """The exact driver scenario: no conftest env, a host with too few
     devices — dryrun_multichip must self-bootstrap a virtual CPU mesh in a
