@@ -38,7 +38,7 @@ def bench_supervised(name, model, batch, x_hw, y_hw, steps_per_epoch,
 
     jchain = jax.jit(chain)
     hard_sync = lambda st: np.asarray(
-        jax.tree.leaves(st.params)[0]).ravel()[0]
+        jax.tree.leaves(st.params)[0].ravel()[0])  # slice on device, 1-elem transfer
 
     state = jchain(state, x, y)
     hard_sync(state)
@@ -87,7 +87,7 @@ def bench_gan(n_chain=50, reps=3):
 
     jchain = jax.jit(chain)
     hard_sync = lambda st: np.asarray(
-        jax.tree.leaves(st.g_params)[0]).ravel()[0]
+        jax.tree.leaves(st.g_params)[0].ravel()[0])  # slice on device, 1-elem transfer
     state = jchain(state, x, y)
     hard_sync(state)
     best = float("inf")

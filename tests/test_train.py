@@ -101,6 +101,37 @@ def test_gan_trainer_single_step_and_eval():
     assert int(jax.device_get(res.state.step)) == 2 * 2
 
 
+def test_gan_epoch_sampling_is_permutation():
+    """One epoch at steps_per_epoch = n//batch touches every example exactly
+    once (reference shuffles without replacement, ESRGAN_model.py:578-598)."""
+    gen = ESRGANGenerator(scale_factor=2, growth_channels=4, num_rrdb_blocks=1)
+    disc = ESRGANDiscriminator()
+    vgg = VGG19Features()
+    vgg_params = vgg.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))["params"]
+    trainer = ESRGANTrainer(gen, disc, vgg, vgg_params)
+
+    n, batch = 16, 4
+    x = np.zeros((n, 8, 8, 3), np.float32)
+    x[:, 0, 0, 0] = np.arange(n) / n  # identity-coded (pre-normalization)
+    y = np.zeros((n, 16, 16, 3), np.float32)
+    seen = []
+
+    class _State:  # minimal stub for the fit loop's bookkeeping
+        step = 0
+
+    def record_step(state, xb, yb):
+        v = (np.asarray(xb)[:, 0, 0, 0] + 1.0) / 2.0 * n  # undo [-1,1] map
+        seen.append(np.round(v).astype(int))
+        return state, {"g_loss": 0.0, "d_loss": 0.0, "psnr": 0.0, "ssim": 0.0}
+
+    trainer.train_step = record_step
+    trainer.fit(x, y, epochs=2, batch_size=batch, verbose=False, state=_State())
+    steps = n // batch
+    assert len(seen) == 2 * steps
+    for epoch_ids in (np.concatenate(seen[:steps]), np.concatenate(seen[steps:])):
+        assert sorted(epoch_ids.tolist()) == list(range(n))
+
+
 def test_checkpoint_roundtrip(tmp_path, sr_data):
     x, y = sr_data
     trainer = SupervisedSRTrainer(SRCNN(f1=8, f2=4), learning_rate=1e-3)

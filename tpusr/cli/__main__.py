@@ -311,6 +311,24 @@ def _ckpt_sidecar_metrics(ckpt_path):
     return out
 
 
+# classic interpolation baselines (classic_algorithms.py:7-21), on-device;
+# accept the reference's method name "lanczos" for the lanczos4 kernel
+_INTERP_ALIAS = {"lanczos": "lanczos4"}
+
+
+def build_classic_sr_methods(names, hr_hw):
+    """name -> sr_apply(lr_batch)->[0,1] HR batch, for every reference
+    interpolation method name (incl. the 'lanczos' alias)."""
+    import jax.numpy as jnp
+    from tpusr.core.resize import resize
+
+    return {
+        name: (lambda x, n=_INTERP_ALIAS.get(name, name):
+               jnp.clip(resize(x, hr_hw, n), 0.0, 1.0))
+        for name in names
+    }
+
+
 def cmd_pipeline(args):
     """End-to-end LR -> SR (per method) -> classify comparison — the missing
     defect_detection_pipeline notebook (SURVEY §0). Wires the classic
@@ -341,15 +359,8 @@ def cmd_pipeline(args):
                     pretrained_path=args.vgg16_ckpt)
     clf_apply = lambda p: vgg.module.apply({"params": vgg.state.params}, p)
 
-    # classic interpolation baselines (classic_algorithms.py:7-21), on-device;
-    # accept the reference's method name "lanczos" for the lanczos4 kernel
-    _interp_alias = {"lanczos": "lanczos4"}
     interp_names = [m.strip() for m in args.classic_methods.split(",") if m.strip()]
-    sr_methods = {
-        name: (lambda x, n=_interp_alias.get(name, name):
-               jnp.clip(resize(x, hr_hw, n), 0.0, 1.0))
-        for name in interp_names
-    }
+    sr_methods = build_classic_sr_methods(interp_names, hr_hw)
     sidecars = {}
     if args.srcnn_ckpt:
         srcnn = SRCNNModel()

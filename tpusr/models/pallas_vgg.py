@@ -116,6 +116,12 @@ def build_img36_from_image(img: jnp.ndarray, n_pr: int, n_pc: int):
     ry = 48 * (n_pr - 1) + 96
     ce = 24 * (n_pc - 1) + 48
     ref_r, ref_c = ry - h, 2 * ce - w
+    # np.pad(mode='reflect') can only reflect dim-1 rows in one pass; fail
+    # loudly on undersized inputs instead of silently taking a wrong slice.
+    if ref_r > h - 2 or ref_c > w - 2:
+        raise ValueError(
+            f"image ({h}x{w}) too small to reflect-pad to ({ry}x{2 * ce}): "
+            f"need pad ({max(ref_r, 0)},{max(ref_c, 0)}) <= dim-2")
     x = img
     if ref_r > 0:
         x = jnp.concatenate(

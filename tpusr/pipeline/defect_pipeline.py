@@ -176,17 +176,29 @@ def run_defect_detection_comparison(sr_methods: dict, clf_apply, x_lr, x_hr, y,
         scale = hr_hw[0] // x_lr.shape[1]
         pipe = FusedSRClassifyPipeline(sr_apply, clf_apply, x_lr.shape[1:3],
                                        scale, patch, stride)
+        # Timing hygiene (reference timed pure model.predict,
+        # EDSR_model.py:265-303): every batch is padded to one compiled
+        # shape (no trailing-batch recompile), one warm-up batch runs before
+        # the clock, and only the pipeline call is timed — each timed region
+        # ends with the small (batch,) class transfer as the device barrier.
+        bs = min(batch_size, n)
+        np.asarray(pipe(x_lr[:bs])[1])  # compile + warm-up, untimed
         preds, confs, psnrs, ssims = [], [], [], []
-        t0 = time.perf_counter()
-        for s in range(0, n, batch_size):
-            xb = x_lr[s:s + batch_size]
-            hb = x_hr[s:s + batch_size]
+        elapsed = 0.0
+        for s in range(0, n, bs):
+            xb = x_lr[s:s + bs]
+            hb = x_hr[s:s + bs]
+            nb = xb.shape[0]
+            if nb < bs:  # pad to the compiled shape, slice results after
+                xb = np.concatenate([xb, np.repeat(xb[-1:], bs - nb, axis=0)])
+            t0 = time.perf_counter()
             sr, cls, conf = pipe(xb)
-            preds.append(np.asarray(cls))
-            confs.append(np.asarray(conf))
-            psnrs.append(np.asarray(psnr_fn(jnp.asarray(hb), sr)))
-            ssims.append(np.asarray(ssim_fn(jnp.asarray(hb), sr)))
-        elapsed = time.perf_counter() - t0
+            cls_h = np.asarray(cls)  # device->host barrier inside the clock
+            elapsed += time.perf_counter() - t0
+            preds.append(cls_h[:nb])
+            confs.append(np.asarray(conf)[:nb])
+            psnrs.append(np.asarray(psnr_fn(jnp.asarray(hb), sr[:nb])))
+            ssims.append(np.asarray(ssim_fn(jnp.asarray(hb), sr[:nb])))
 
         preds = np.concatenate(preds)[:n]
         confs = np.concatenate(confs)[:n]

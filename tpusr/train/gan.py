@@ -207,6 +207,25 @@ class ESRGANTrainer:
         if state is None:
             state = self.init_state(x_train.shape[1:], y_train.shape[1:])
 
+        # Shuffle WITHOUT replacement, matching the reference's
+        # tf.data shuffle->batch->repeat stream (ESRGAN_model.py:578-598):
+        # a persistent permutation stream, reshuffled when exhausted; the
+        # partial tail is dropped on reshuffle (static batch shape).
+        perm = rng.permutation(n)
+        pos = 0
+
+        def next_batch_idx():
+            nonlocal perm, pos
+            if batch_size >= n:  # keep static batch shape on tiny datasets
+                reps = -(-batch_size // n)
+                return np.concatenate(
+                    [rng.permutation(n) for _ in range(reps)])[:batch_size]
+            if pos + batch_size > n:
+                perm, pos = rng.permutation(n), 0
+            sel = perm[pos:pos + batch_size]
+            pos += batch_size
+            return sel
+
         tt, mt = EpochTimeTracker(), EpochMemoryTracker()
         epoch_losses: dict[str, list] = {}
         preview = x_train[:25] if x_val is None or len(x_val) == 0 else x_val[:25]
@@ -216,7 +235,7 @@ class ESRGANTrainer:
             mt.begin_epoch()
             agg = {"g_loss": [], "d_loss": [], "psnr": [], "ssim": []}
             for _ in range(steps_per_epoch):
-                sel = rng.integers(0, n, size=batch_size)
+                sel = next_batch_idx()
                 xb, yb = x_train[sel], y_train[sel]
                 if normalize:
                     xb, yb = xb * 2.0 - 1.0, yb * 2.0 - 1.0
