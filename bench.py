@@ -42,6 +42,16 @@ def main():
     from tpusr.pipeline.defect_pipeline import _vote
 
     use_int8 = os.environ.get("BENCH_INT8", "1") == "1"
+    # int8 EDSR (PTQ, mixed-precision trunk): 1.57x on the body convs
+    # (PERF.md round 3); rides the same serving-gate standard as the
+    # classifier int8 path. BENCH_SR_INT8=0 keeps the bf16 SR stage.
+    use_sr_int8 = os.environ.get("BENCH_SR_INT8", "1" if use_int8 else "0") == "1"
+    # Shared-trunk classifier: ONE full-image VGG16 trunk + pool-aligned
+    # patch GAP extraction instead of 100 per-patch forwards (~2.9x fewer
+    # MACs; tpusr/models/vgg_trunk.py). Same vote protocol; conv borders see
+    # real context instead of per-patch zero pad — serving-gated like int8.
+    use_shared_trunk = (os.environ.get("BENCH_SHARED_TRUNK", "0") == "1"
+                        and use_int8)
     # bf16/f32 classifier patches are 4x the int8 ones: batch 128 needs
     # ~28 G HBM of the chip's 15.75 G, so the non-int8 paths default lower
     batch = int(os.environ.get("BENCH_BATCH", "128" if use_int8 else "64"))
@@ -84,22 +94,33 @@ def main():
     # conv in polyphase space (5.6x fewer tail FLOPs, zero shuffle-relayout
     # copies; exact incl. borders — tests/test_edsr_fast.py). The interleave
     # runs after int8 quantization (3-channel, ~50x fewer bytes).
-    sr_fused, r_last = make_fused_sr_apply(sv["params"], scale, dtype=dtype)
+    if use_sr_int8:
+        from tpusr.models.edsr_quant import make_fused_sr_apply_int8
+        calib_lr = jnp.asarray(np.random.default_rng(3).random(
+            (4, *lr_hw, 3), dtype=np.float32))
+        sr_fused, r_last = make_fused_sr_apply_int8(sv["params"], scale,
+                                                    sample_lr=calib_lr)
+    else:
+        sr_fused, r_last = make_fused_sr_apply(sv["params"], scale, dtype=dtype)
 
     def one_iter(x):
         sr_p = sr_fused(x)                  # (N, 128, 128, scale^2*3), [0,1]
         srq_p = pre_quant(sr_p)
         srq = pixel_shuffle(srq_p, r_last)  # int8 interleave: 3 channels
 
-        def per_image(img):
-            padded = jnp.pad(img, ((0, pad_h), (0, pad_w), (0, 0)),
-                             mode="reflect")
-            return patchify(padded, patch, stride)
+        if use_shared_trunk:
+            from tpusr.models.vgg_trunk import shared_trunk_probs_int8
+            probs = shared_trunk_probs_int8(qtree, srq, patch, stride)
+        else:
+            def per_image(img):
+                padded = jnp.pad(img, ((0, pad_h), (0, pad_w), (0, 0)),
+                                 mode="reflect")
+                return patchify(padded, patch, stride)
 
-        patches = jax.vmap(per_image)(srq)
-        flat = patches.reshape((-1,) + patches.shape[2:])
-        probs = clf_apply(flat).astype(jnp.float32)
-        probs = probs.reshape(sr_p.shape[0], nh * nw, -1)
+            patches = jax.vmap(per_image)(srq)
+            flat = patches.reshape((-1,) + patches.shape[2:])
+            probs = clf_apply(flat).astype(jnp.float32)
+            probs = probs.reshape(sr_p.shape[0], nh * nw, -1)
         classes, confs = jax.vmap(_vote)(probs)
         # data-dependent feedback: next LR derives from this SR + vote result;
         # sr[::scale, ::scale] == polyphase phase (0, 0) channels

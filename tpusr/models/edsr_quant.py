@@ -1,0 +1,166 @@
+"""Post-training int8 quantization for the EDSR SR inference path.
+
+Measured on v5e at the bench load (batch 128, 128x128x64, 34 chained convs):
+bf16 40.8 ms (65% of bf16 peak) vs int8 25.9 ms (51% of int8 peak) — 1.57x,
+the same ratio the VGG16 classifier showed (PERF.md). 2x-channel padding to
+fill the 128 MXU lanes was re-probed and loses (0.61x useful-MAC rate).
+
+Design (mixed-precision trunk — no accumulated quantization error):
+- the running activation tensor stays bf16 end to end (residual adds, 0.1
+  scaling, the global skip are exact in bf16);
+- each conv quantizes its INPUT on the fly (per-tensor symmetric scale,
+  calibrated max-abs on a f32 forward), runs int8 x int8 -> int32 on the
+  MXU, and dequantizes with one fused per-output-channel f32 rescale + bias;
+- the fused linear tail (edsr_fast.fused_tail_kernel — the whole upsample
+  tail as ONE composed conv) is quantized the same way;
+- the thin border-band correction slabs stay bf16 (negligible cost, keeps
+  the chained-tail border semantics).
+
+Like the classifier int8 path this is an opt-in serving mode; bf16/f32 stays
+the parity path. Accuracy is gated in tests by PSNR(int8 SR, f32 SR) and in
+the protocol-scale harness by end-to-end vote agreement.
+
+Reference inference semantics being served: EDSR_model.py:189-315.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpusr.models.edsr_fast import (_chained_tail, _conv, _interleaved_to_poly,
+                                    fused_tail_kernel)
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _maxabs(x) -> float:
+    return float(jnp.max(jnp.abs(x)))
+
+
+def calibrate_edsr(params: dict, scale_factor: int, sample_lr,
+                   res_scaling: float = 0.1) -> dict:
+    """Run the f32 forward on a calibration batch and record every conv
+    INPUT's symmetric int8 scale (max-abs / 127). Keys: 'head',
+    'res{i}_conv1', 'res{i}_conv2', 'body', 'tail'."""
+    x = jnp.asarray(np.asarray(sample_lr, np.float32))
+    p32 = jax.tree.map(lambda a: a.astype(jnp.float32), params)
+    scales = {"head": max(_maxabs(x) / 127.0, 1e-8)}
+    n_res = len([k for k in params if k.startswith("res")])
+    head = _conv(p32["head"], x)
+    y = head
+    for i in range(n_res):
+        p = p32[f"res{i}"]
+        scales[f"res{i}_conv1"] = max(_maxabs(y) / 127.0, 1e-8)
+        t = jax.nn.relu(_conv(p["conv1"], y))
+        scales[f"res{i}_conv2"] = max(_maxabs(t) / 127.0, 1e-8)
+        t = _conv(p["conv2"], t)
+        y = y + res_scaling * t
+    scales["body"] = max(_maxabs(y) / 127.0, 1e-8)
+    y = _conv(p32["body"], y) + head
+    scales["tail"] = max(_maxabs(y) / 127.0, 1e-8)
+    return scales
+
+
+def _quantize_kernel(k: np.ndarray):
+    """(kh, kw, cin, cout) f32 -> (int8 kernel, per-cout f32 w_scale)."""
+    k = np.asarray(k, np.float32)
+    w_scale = np.maximum(np.abs(k).max(axis=(0, 1, 2)) / 127.0, 1e-12)
+    kq = np.clip(np.round(k / w_scale), -127, 127).astype(np.int8)
+    return kq, w_scale.astype(np.float32)
+
+
+def quantize_edsr(params: dict, scale_factor: int, act_scales: dict) -> dict:
+    """Per-output-channel int8 kernels + fused rescale vectors for the head,
+    res-block, body, and composed-tail convs. Consumed by
+    ``make_fused_sr_apply_int8``."""
+    p32 = jax.tree.map(lambda a: np.asarray(jax.device_get(a), np.float32),
+                       params)
+    w_eff, b_eff, pad = fused_tail_kernel(
+        jax.tree.map(jnp.asarray, p32), scale_factor)
+
+    q = {"layers": {}, "pad": pad, "act_scales": dict(act_scales)}
+
+    def add(name, kernel, bias):
+        kq, ws = _quantize_kernel(kernel)
+        s_in = act_scales[name]
+        q["layers"][name] = {
+            "kernel_q": jnp.asarray(kq),
+            "rescale": jnp.asarray(s_in * ws, jnp.float32),
+            "bias": jnp.asarray(np.asarray(bias, np.float32)),
+            "inv_s_in": jnp.float32(1.0 / s_in),
+        }
+
+    add("head", p32["head"]["kernel"], p32["head"]["bias"])
+    n_res = len([k for k in params if k.startswith("res")])
+    for i in range(n_res):
+        add(f"res{i}_conv1", p32[f"res{i}"]["conv1"]["kernel"],
+            p32[f"res{i}"]["conv1"]["bias"])
+        add(f"res{i}_conv2", p32[f"res{i}"]["conv2"]["kernel"],
+            p32[f"res{i}"]["conv2"]["bias"])
+    add("body", p32["body"]["kernel"], p32["body"]["bias"])
+    add("tail", np.asarray(jax.device_get(w_eff)),
+        np.asarray(jax.device_get(b_eff)))
+    q["n_res"] = n_res
+    return q
+
+
+def _qconv(layer: dict, x: jnp.ndarray, out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Quantize input -> int8 MXU conv -> fused f32 dequant (+bias)."""
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) * layer["inv_s_in"]),
+                  -127, 127).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq, layer["kernel_q"], (1, 1), "SAME", dimension_numbers=_DN,
+        preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * layer["rescale"]
+            + layer["bias"]).astype(out_dtype)
+
+
+def make_fused_sr_apply_int8(params: dict, scale_factor: int,
+                             sample_lr=None, act_scales: dict | None = None,
+                             res_scaling: float = 0.1):
+    """int8 twin of ``edsr_fast.make_fused_sr_apply``: same fused-linear-tail
+    polyphase forward, every conv on the int8 MXU path, bf16 trunk.
+
+    Returns (fn, s): ``fn(x) -> y_poly`` clipped to [0,1];
+    ``pixel_shuffle(y_poly, s)`` is the SR image. Pass either precomputed
+    ``act_scales`` (from ``calibrate_edsr``) or a ``sample_lr`` calibration
+    batch.
+    """
+    s = scale_factor
+    if act_scales is None:
+        if sample_lr is None:
+            raise ValueError("need act_scales or a sample_lr calibration batch")
+        act_scales = calibrate_edsr(params, s, sample_lr, res_scaling)
+    q = quantize_edsr(params, s, act_scales)
+    pad = q["pad"]
+    slab = 2 * pad + 1
+    cast = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+
+    def body_out(x):
+        head = _qconv(q["layers"]["head"], x)
+        y = head
+        for i in range(q["n_res"]):
+            t = jax.nn.relu(_qconv(q["layers"][f"res{i}_conv1"], y))
+            t = _qconv(q["layers"][f"res{i}_conv2"], t)
+            y = y + jnp.bfloat16(res_scaling) * t
+        return _qconv(q["layers"]["body"], y) + head
+
+    def chained_poly(yslab):
+        out = _chained_tail(cast, yslab, s)
+        return _interleaved_to_poly(out, s)
+
+    def fn(x):
+        y = body_out(x)
+        z = _qconv(q["layers"]["tail"], y, out_dtype=jnp.float32)
+        # border-band correction: chained zero-padding semantics (bf16)
+        top = chained_poly(y[:, :slab])[:, :pad].astype(jnp.float32)
+        bot = chained_poly(y[:, -slab:])[:, -pad:].astype(jnp.float32)
+        left = chained_poly(y[:, :, :slab])[:, :, :pad].astype(jnp.float32)
+        right = chained_poly(y[:, :, -slab:])[:, :, -pad:].astype(jnp.float32)
+        z = z.at[:, :pad].set(top).at[:, -pad:].set(bot)
+        z = z.at[:, :, :pad].set(left).at[:, :, -pad:].set(right)
+        return jnp.clip(z, 0.0, 1.0)
+
+    return fn, s
