@@ -127,6 +127,20 @@ class SRCNNModel:
         print(f"Model saved to {path}")
         return path
 
+    def save_h5(self, directory, timestamp):
+        """Export to the reference's Keras ``.h5`` format
+        (``SRCNN_{ts}.h5``, SRCNN_model.py:249-259) — loadable with
+        ``keras.models.load_model`` and re-importable bit-exactly."""
+        import os
+        from tpusr.train.keras_export import export_srcnn
+
+        if not self._trained:
+            raise RuntimeError("Cannot save an untrained model.")
+        os.makedirs(directory, exist_ok=True)
+        path = os.path.join(directory, f"SRCNN_{timestamp}.h5")
+        export_srcnn(self.state.params, path)
+        return path
+
 
 class EDSR:
     """EDSR lifecycle parity with ``EDSR_model.py:23-330``."""
@@ -224,6 +238,20 @@ class EDSR:
         print(f"Model saved to {path}")
         return path
 
+    def save_h5(self, directory, timestamp):
+        """Export to the reference's Keras ``.h5`` format
+        (``EDSR_x{s}_{ts}.h5``, EDSR_model.py:317-330)."""
+        import os
+        from tpusr.train.keras_export import export_edsr
+
+        if not self.trained:
+            raise RuntimeError("Cannot save an untrained model.")
+        os.makedirs(directory, exist_ok=True)
+        path = os.path.join(directory,
+                            f"EDSR_x{self.scale_factor}_{timestamp}.h5")
+        export_edsr(self.state.params, path)
+        return path
+
 
 class ESRGAN:
     """ESRGAN lifecycle parity with ``ESRGAN_model.py:81-996``."""
@@ -251,6 +279,7 @@ class ESRGAN:
                 growth_channels = arch.get("growth_channels", growth_channels)
                 num_rrdb_blocks = arch.get("num_rrdb_blocks", num_rrdb_blocks)
         self.scale_factor = scale_factor
+        self.output_shape = tuple(output_shape)
         self._arch = {"scale_factor": scale_factor,
                       "growth_channels": growth_channels,
                       "num_rrdb_blocks": num_rrdb_blocks}
@@ -340,6 +369,28 @@ class ESRGAN:
             metadata={"arch": self._arch})
         print(f"Generator+discriminator state saved to {path}")
         return path
+
+    def save_h5(self, directory, timestamp):
+        """Export generator + discriminator to the reference's two-file
+        Keras ``.h5`` format (``ESRGAN_{generator,discriminator}_x{s}_{ts}
+        .h5``, ESRGAN_model.py:981-996). Returns (gen_path, disc_path)."""
+        import os
+        from tpusr.train.keras_export import (export_esrgan_discriminator,
+                                              export_esrgan_generator)
+
+        if not self.trained:
+            raise RuntimeError("Cannot save an untrained model.")
+        os.makedirs(directory, exist_ok=True)
+        s = self.scale_factor
+        g_path = os.path.join(directory,
+                              f"ESRGAN_generator_x{s}_{timestamp}.h5")
+        d_path = os.path.join(directory,
+                              f"ESRGAN_discriminator_x{s}_{timestamp}.h5")
+        export_esrgan_generator(self.state.g_params, g_path)
+        export_esrgan_discriminator(self.state.d_params,
+                                    self.state.d_spectral, d_path,
+                                    input_hw=self.output_shape[0])
+        return g_path, d_path
 
 
 class FineTunedVGG16:
@@ -458,6 +509,20 @@ class FineTunedVGG16:
         path = save_checkpoint(directory, f"VGG16_{timestamp}", self.state,
                                metadata={"arch": self._arch})
         print(f"Model saved to {path}")
+        return path
+
+    def save_h5(self, directory, timestamp):
+        """Export to the reference's Keras ``.h5`` format
+        (``VGG16_{ts}.h5``, VGG16_model.py:272-281)."""
+        import os
+        from tpusr.train.keras_export import export_vgg16_classifier
+
+        if not self.trained:
+            raise RuntimeError("Cannot save an untrained model.")
+        os.makedirs(directory, exist_ok=True)
+        path = os.path.join(directory, f"VGG16_{timestamp}.h5")
+        export_vgg16_classifier(self.state.params, path,
+                                input_shape=self.input_shape)
         return path
 
 
