@@ -444,6 +444,8 @@ def cmd_pipeline(args):
 def cmd_eda(args):
     from tpusr.data.eda import run_eda_pipeline
 
+    if getattr(args, "lpips_weights", None):
+        os.environ["TPUSR_LPIPS_WEIGHTS"] = args.lpips_weights
     run_eda_pipeline(args.lr_dir, args.hr_dir, args.out,
                      interp_map_path=args.interp_map, limit=args.limit)
 
@@ -535,6 +537,10 @@ def main(argv=None):
     sp.add_argument("--out", default="eda_results")
     sp.add_argument("--interp-map", default=None)
     sp.add_argument("--limit", type=int, default=None)
+    sp.add_argument("--lpips-weights", default=None,
+                    help="provisioned lpips_alex .npz "
+                         "(tpusr.tools.lpips_weights); activates the LPIPS "
+                         "column + best/worst-LPIPS scenario dumps")
     sp.set_defaults(fn=cmd_eda)
 
     args = p.parse_args(argv)

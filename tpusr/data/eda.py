@@ -77,20 +77,44 @@ def load_and_align(lr_path, hr_path, interp_map=None):
 
 
 # ------------------------------------------------------------------- metrics
+_LPIPS_JAX_W = None
+
+
 def lpips_score(lr_bgr, hr_bgr):
-    """LPIPS(alex) on BGR->RGB [-1,1] tensors; None if lpips unavailable."""
-    global _LPIPS_MODEL
-    if _lpips_mod is None:
-        return None
-    if _LPIPS_MODEL is None:
-        _LPIPS_MODEL = _lpips_mod.LPIPS(net="alex")
+    """LPIPS(alex) on BGR->RGB [-1,1] tensors. Resolution order:
+    1. the torch ``lpips`` package, if installed (reference EDA's path);
+    2. the JAX port (tpusr.metrics.lpips) with offline-provisioned weights
+       ($TPUSR_LPIPS_WEIGHTS or weights/lpips_alex.npz — see
+       ``python -m tpusr.tools.lpips_weights``);
+    3. None (the LPIPS column and scenario dumps degrade gracefully)."""
+    global _LPIPS_MODEL, _LPIPS_JAX_W
+    if _lpips_mod is not None:
+        if _LPIPS_MODEL is None:
+            _LPIPS_MODEL = _lpips_mod.LPIPS(net="alex")
 
-    def to_tensor(img):
-        x = cv2.cvtColor(img, cv2.COLOR_BGR2RGB) / 255.0
-        x = 2 * x - 1
-        return _torch.from_numpy(np.transpose(x, (2, 0, 1))).unsqueeze(0).float()
+        def to_tensor(img):
+            x = cv2.cvtColor(img, cv2.COLOR_BGR2RGB) / 255.0
+            x = 2 * x - 1
+            return _torch.from_numpy(
+                np.transpose(x, (2, 0, 1))).unsqueeze(0).float()
 
-    return float(_LPIPS_MODEL(to_tensor(lr_bgr), to_tensor(hr_bgr)).item())
+        return float(_LPIPS_MODEL(to_tensor(lr_bgr), to_tensor(hr_bgr)).item())
+
+    if _LPIPS_JAX_W is None:
+        from tpusr.tools.lpips_weights import default_weights_path
+
+        path = default_weights_path()
+        if path is None:
+            return None
+        from tpusr.metrics.lpips import load_lpips_npz
+
+        _LPIPS_JAX_W = load_lpips_npz(path)
+    from tpusr.metrics.lpips import lpips_alex_from_uint8_rgb
+
+    return lpips_alex_from_uint8_rgb(
+        _LPIPS_JAX_W,
+        cv2.cvtColor(lr_bgr, cv2.COLOR_BGR2RGB),
+        cv2.cvtColor(hr_bgr, cv2.COLOR_BGR2RGB))
 
 
 def psnr_metric(lr_img, hr_img):
