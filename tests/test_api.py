@@ -54,6 +54,7 @@ def test_edsr_facade_lifecycle(sr_pairs):
     assert sr.shape == (40, 40, 3)
 
 
+@pytest.mark.slow  # e2e GAN facade (79s); the GAN step itself is covered in test_train
 def test_esrgan_facade_lifecycle():
     rng = np.random.default_rng(3)
     y = rng.random((8, 16, 16, 3), dtype=np.float32)

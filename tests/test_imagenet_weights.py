@@ -133,3 +133,63 @@ def test_real_imagenet_vgg19_perceptual_fidelity():
     want = feat(x).numpy()
     got = np.asarray(m.apply({"params": params}, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-2)
+
+
+def _param_count(tree):
+    return sum(int(np.prod(np.asarray(l).shape))
+               for l in jax.tree_util.tree_leaves(tree))
+
+
+def test_documented_param_counts():
+    """The reference's documented parameter counts hold for the tpusr
+    architectures exactly: FineTunedVGG16 14,846,530 (VGG16.ipynb cell 6)
+    and the VGG19 perceptual extractor 20,024,384 (ESRGAN.ipynb cell 6) —
+    asserted now so provisioned official weights drop into matching trees."""
+    from tpusr.models import VGG16Classifier, VGG19Features
+
+    clf = VGG16Classifier(num_classes=2)
+    v = clf.init(jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3)))
+    assert _param_count(v["params"]) == 14_846_530
+
+    vgg19 = VGG19Features()
+    v19 = vgg19.init(jax.random.PRNGKey(0), jnp.zeros((1, 48, 48, 3)))
+    assert _param_count(v19["params"]) == 20_024_384
+
+
+def test_manifest_covers_both_releases():
+    from tpusr.tools.imagenet_weights import load_manifest
+
+    m = load_manifest()
+    for key, backbone in (("vgg16_notop", 14_714_688),
+                          ("vgg19_notop", 20_024_384)):
+        assert m[key]["filename"].endswith("_notop.h5")
+        assert len(m[key]["md5"]) == 32
+        assert m[key]["backbone_params"] == backbone
+
+
+def test_verify_official_rejects_wrong_file(tmp_path):
+    from tpusr.tools.imagenet_weights import verify_official
+
+    fake = tmp_path / "vgg16_weights_tf_dim_ordering_tf_kernels_notop.h5"
+    fake.write_bytes(b"not the official file")
+    with pytest.raises(ValueError, match="md5"):
+        verify_official(str(fake), "vgg16_notop")
+    with pytest.raises(KeyError):
+        verify_official(str(fake), "nope")
+
+
+@pytest.mark.skipif(not os.environ.get("TPUSR_IMAGENET_VGG16_H5"),
+                    reason="real ImageNet VGG16 weights not provisioned")
+def test_real_imagenet_vgg16_manifest_hash():
+    """Parity-on-arrival: the provisioned file IS the official release."""
+    from tpusr.tools.imagenet_weights import verify_official
+
+    verify_official(os.environ["TPUSR_IMAGENET_VGG16_H5"], "vgg16_notop")
+
+
+@pytest.mark.skipif(not os.environ.get("TPUSR_IMAGENET_VGG19_H5"),
+                    reason="real ImageNet VGG19 weights not provisioned")
+def test_real_imagenet_vgg19_manifest_hash():
+    from tpusr.tools.imagenet_weights import verify_official
+
+    verify_official(os.environ["TPUSR_IMAGENET_VGG19_H5"], "vgg19_notop")

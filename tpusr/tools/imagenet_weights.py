@@ -123,6 +123,59 @@ def load_backbone_weights(params: dict, path: str, backbone_key: str) -> dict:
     return load_keras_h5_weights(params, path, backbone_key)
 
 
+def load_manifest() -> dict:
+    """The checked-in manifest of the official weight releases (filenames,
+    URLs, hashes, expected param counts)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "imagenet_manifest.json")
+    with open(path) as f:
+        return json.load(f)
+
+
+def file_hashes(path: str) -> dict[str, str]:
+    import hashlib
+
+    md5, sha = hashlib.md5(), hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            md5.update(chunk)
+            sha.update(chunk)
+    return {"md5": md5.hexdigest(), "sha256": sha.hexdigest()}
+
+
+def verify_official(path: str, key: str, record_sha256: bool = False) -> dict:
+    """Check a provisioned file against the manifest. md5 must match the
+    keras-applications file_hash; sha256 is compared when recorded, or
+    written into the manifest on first provisioning with record_sha256."""
+    import json
+    import os
+
+    manifest = load_manifest()
+    if key not in manifest:
+        raise KeyError(f"unknown manifest key {key!r}; have "
+                       f"{[k for k in manifest if not k.startswith('_')]}")
+    entry = manifest[key]
+    got = file_hashes(path)
+    if got["md5"] != entry["md5"]:
+        raise ValueError(
+            f"{path}: md5 {got['md5']} does not match the official "
+            f"{entry['filename']} ({entry['md5']}) — wrong or corrupt file")
+    if entry.get("sha256"):
+        if got["sha256"] != entry["sha256"]:
+            raise ValueError(f"{path}: sha256 mismatch vs recorded manifest")
+    elif record_sha256:
+        entry["sha256"] = got["sha256"]
+        mpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "imagenet_manifest.json")
+        with open(mpath, "w") as f:
+            json.dump(manifest, f, indent=2)
+        print(f"recorded sha256 {got['sha256']} for {key}")
+    return got
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         description="Validate/convert Keras VGG ImageNet weights for tpusr")
@@ -130,7 +183,17 @@ def main(argv=None):
     p.add_argument("--src", required=True, help="Keras .h5 (notop) weight file")
     p.add_argument("--out", default=None,
                    help=".npz output; omit to validate only")
+    p.add_argument("--verify-official", action="store_true",
+                   help="check --src md5/sha256 against the checked-in "
+                        "manifest (official releases only)")
+    p.add_argument("--record-sha256", action="store_true",
+                   help="with --verify-official: record the sha256 into the "
+                        "manifest on first provisioning")
     args = p.parse_args(argv)
+    if args.verify_official:
+        key = f"{args.arch}_notop"
+        got = verify_official(args.src, key, record_sha256=args.record_sha256)
+        print(f"{args.src}: md5 OK ({got['md5']}), sha256 {got['sha256']}")
     if args.out:
         convert(args.arch, args.src, args.out)
     else:
