@@ -102,3 +102,78 @@ def test_shared_trunk_prequantized_input_matches():
     b = np.asarray(shared_trunk_probs_int8(q, quantize_input(q, imgs),
                                            PATCH, STRIDE))
     np.testing.assert_array_equal(a, b)
+
+
+def test_fused_pipeline_trunk_probs_matches_per_patch():
+    """FusedSRClassifyPipeline(trunk_probs=...) must produce the same votes
+    as the per-patch pipeline when the kernels make the two paths exact
+    (center-tap-only), wiring the shared trunk into the public API."""
+    from tpusr.pipeline.defect_pipeline import FusedSRClassifyPipeline
+
+    m, params = _center_only_params(seed=6)
+    clf_apply = lambda p: m.apply({"params": params}, p)
+    from tpusr.models.vgg_trunk import shared_trunk_probs_f32
+    trunk = lambda imgs: shared_trunk_probs_f32(params, imgs, PATCH, STRIDE)
+    up = lambda x: jnp.clip(jax.image.resize(
+        x, (x.shape[0], 96, 96, 3), "bilinear"), 0.0, 1.0)
+
+    pipe_pp = FusedSRClassifyPipeline(up, clf_apply=clf_apply, lr_hw=(48, 48),
+                                      scale=2, patch=PATCH, stride=STRIDE)
+    pipe_tr = FusedSRClassifyPipeline(up, trunk_probs=trunk, lr_hw=(48, 48),
+                                      scale=2, patch=PATCH, stride=STRIDE)
+    lr = jnp.asarray(np.random.default_rng(7).random((2, 48, 48, 3),
+                                                     dtype=np.float32))
+    sr_a, cls_a, conf_a = pipe_pp(lr)
+    sr_b, cls_b, conf_b = pipe_tr(lr)
+    np.testing.assert_array_equal(np.asarray(cls_a), np.asarray(cls_b))
+    np.testing.assert_allclose(np.asarray(conf_a), np.asarray(conf_b),
+                               atol=1e-5)
+
+    with pytest.raises(ValueError, match="exactly one"):
+        FusedSRClassifyPipeline(up, clf_apply=clf_apply, trunk_probs=trunk,
+                                lr_hw=(48, 48), scale=2)
+    with pytest.raises(ValueError, match="exactly one"):
+        FusedSRClassifyPipeline(up, lr_hw=(48, 48), scale=2)
+
+
+def test_make_serving_pipeline_modes():
+    """The serving factory wires every (sr_mode, clf_mode) combination into
+    a runnable fused pipeline; parity mode equals the hand-built one."""
+    from tpusr.models import EDSR as EDSRModule
+    from tpusr.pipeline.defect_pipeline import (FusedSRClassifyPipeline,
+                                                make_serving_pipeline)
+
+    rng = np.random.default_rng(8)
+    edsr = EDSRModule(scale_factor=4, num_res_blocks=1, num_filters=8)
+    ev = edsr.init(jax.random.PRNGKey(0), jnp.zeros((1, 24, 24, 3)))
+    m, params = _center_only_params(seed=9)
+    lr_hw = (24, 24)
+    calib_lr = jnp.asarray(rng.random((2, 24, 24, 3), dtype=np.float32))
+    calib_patches = jnp.asarray(rng.random((4, PATCH, PATCH, 3),
+                                           dtype=np.float32))
+    lr = jnp.asarray(rng.random((2, 24, 24, 3), dtype=np.float32))
+
+    results = {}
+    for sr_mode, clf_mode in (("f32", "per_patch_f32"),
+                              ("int8", "shared_trunk_int8"),
+                              ("bf16", "per_patch_int8"),
+                              ("f32", "shared_trunk_f32")):
+        pipe = make_serving_pipeline(
+            ev["params"], params, lr_hw, 4, patch=PATCH, stride=STRIDE,
+            sr_mode=sr_mode, clf_mode=clf_mode, calib_lr=calib_lr,
+            calib_patches=calib_patches)
+        sr, cls, conf = pipe(lr)
+        assert sr.shape == (2, 96, 96, 3)
+        assert cls.shape == (2,)
+        results[(sr_mode, clf_mode)] = np.asarray(cls)
+
+    # parity f32 modes agree with each other (center-only kernels -> exact)
+    np.testing.assert_array_equal(results[("f32", "per_patch_f32")],
+                                  results[("f32", "shared_trunk_f32")])
+
+    with pytest.raises(ValueError, match="calib_lr"):
+        make_serving_pipeline(ev["params"], params, lr_hw, 4,
+                              sr_mode="int8", clf_mode="per_patch_f32")
+    with pytest.raises(ValueError, match="calib_patches"):
+        make_serving_pipeline(ev["params"], params, lr_hw, 4, sr_mode="f32",
+                              clf_mode="per_patch_int8")

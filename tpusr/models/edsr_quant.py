@@ -63,22 +63,22 @@ def calibrate_edsr(params: dict, scale_factor: int, sample_lr,
     return scales
 
 
-def _quantize_kernel(k: np.ndarray):
-    """(kh, kw, cin, cout) f32 -> (int8 kernel, per-cout f32 w_scale)."""
-    k = np.asarray(k, np.float32)
-    w_scale = np.maximum(np.abs(k).max(axis=(0, 1, 2)) / 127.0, 1e-12)
-    kq = np.clip(np.round(k / w_scale), -127, 127).astype(np.int8)
-    return kq, w_scale.astype(np.float32)
+def _quantize_kernel(k):
+    """(kh, kw, cin, cout) -> (int8 kernel, per-cout f32 w_scale); jnp ops so
+    device params quantize on device (the dev tunnel makes host round-trips
+    of full param trees cost minutes)."""
+    k = jnp.asarray(k).astype(jnp.float32)
+    w_scale = jnp.maximum(jnp.max(jnp.abs(k), axis=(0, 1, 2)) / 127.0, 1e-12)
+    kq = jnp.clip(jnp.round(k / w_scale), -127, 127).astype(jnp.int8)
+    return kq, w_scale.astype(jnp.float32)
 
 
 def quantize_edsr(params: dict, scale_factor: int, act_scales: dict) -> dict:
     """Per-output-channel int8 kernels + fused rescale vectors for the head,
     res-block, body, and composed-tail convs. Consumed by
     ``make_fused_sr_apply_int8``."""
-    p32 = jax.tree.map(lambda a: np.asarray(jax.device_get(a), np.float32),
-                       params)
-    w_eff, b_eff, pad = fused_tail_kernel(
-        jax.tree.map(jnp.asarray, p32), scale_factor)
+    p32 = jax.tree.map(lambda a: jnp.asarray(a).astype(jnp.float32), params)
+    w_eff, b_eff, pad = fused_tail_kernel(p32, scale_factor)
 
     q = {"layers": {}, "pad": pad, "act_scales": dict(act_scales)}
 
@@ -86,9 +86,9 @@ def quantize_edsr(params: dict, scale_factor: int, act_scales: dict) -> dict:
         kq, ws = _quantize_kernel(kernel)
         s_in = act_scales[name]
         q["layers"][name] = {
-            "kernel_q": jnp.asarray(kq),
-            "rescale": jnp.asarray(s_in * ws, jnp.float32),
-            "bias": jnp.asarray(np.asarray(bias, np.float32)),
+            "kernel_q": kq,
+            "rescale": (s_in * ws).astype(jnp.float32),
+            "bias": jnp.asarray(bias).astype(jnp.float32),
             "inv_s_in": jnp.float32(1.0 / s_in),
         }
 
@@ -100,8 +100,7 @@ def quantize_edsr(params: dict, scale_factor: int, act_scales: dict) -> dict:
         add(f"res{i}_conv2", p32[f"res{i}"]["conv2"]["kernel"],
             p32[f"res{i}"]["conv2"]["bias"])
     add("body", p32["body"]["kernel"], p32["body"]["bias"])
-    add("tail", np.asarray(jax.device_get(w_eff)),
-        np.asarray(jax.device_get(b_eff)))
+    add("tail", w_eff, b_eff)
     q["n_res"] = n_res
     return q
 

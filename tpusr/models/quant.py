@@ -64,19 +64,23 @@ def quantize_vgg16(params: dict, act_scales: dict):
     for block, n_convs, _f in _CFG:
         for ci in range(1, n_convs + 1):
             name = f"block{block}_conv{ci}"
-            k = np.asarray(bb[name]["kernel"], np.float32)
-            b = np.asarray(bb[name]["bias"], np.float32)
-            w_scale = np.maximum(np.abs(k).max(axis=(0, 1, 2)) / 127.0, 1e-12)
-            k_q = np.clip(np.round(k / w_scale), -127, 127).astype(np.int8)
+            # jnp ops throughout: device params quantize ON DEVICE (a host
+            # round-trip of the 59 MB backbone takes minutes on the dev
+            # tunnel); numpy params work identically.
+            k = jnp.asarray(bb[name]["kernel"]).astype(jnp.float32)
+            b = jnp.asarray(bb[name]["bias"]).astype(jnp.float32)
+            w_scale = jnp.maximum(jnp.max(jnp.abs(k), axis=(0, 1, 2)) / 127.0,
+                                  1e-12)
+            k_q = jnp.clip(jnp.round(k / w_scale), -127, 127).astype(jnp.int8)
             out_scale = act_scales[name]
             # y_f32 = y_int32 * prev_scale * w_scale + bias; then /out_scale.
             # +0.5 folded into the bias turns the truncating int8 cast into
             # round-half-up (values are >=0 post-ReLU) — saves a round op.
             q["layers"][name] = {
-                "kernel_q": jnp.asarray(k_q),
-                "rescale": jnp.asarray(prev_scale * w_scale / out_scale,
-                                       jnp.float32),
-                "bias_over_out": jnp.asarray(b / out_scale + 0.5, jnp.float32),
+                "kernel_q": k_q,
+                "rescale": (prev_scale * w_scale / out_scale
+                            ).astype(jnp.float32),
+                "bias_over_out": (b / out_scale + 0.5).astype(jnp.float32),
             }
             prev_scale = out_scale
     q["final_scale"] = prev_scale

@@ -7,5 +7,6 @@ from tpusr.pipeline.defect_pipeline import (
     make_patch_classifier,
     classify_defects,
     FusedSRClassifyPipeline,
+    make_serving_pipeline,
     run_defect_detection_comparison,
 )

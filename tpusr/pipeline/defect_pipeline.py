@@ -88,15 +88,24 @@ class FusedSRClassifyPipeline:
     `clf_apply(patches)` maps (M, patch, patch, 3) -> (M, num_classes) probs.
     """
 
-    def __init__(self, sr_apply, clf_apply, lr_hw: tuple[int, int], scale: int,
-                 patch: int = 96, stride: int | None = None, mesh=None,
-                 classify_chunks: int = 1, pre_quant=None):
+    def __init__(self, sr_apply, clf_apply=None, lr_hw: tuple[int, int] = None,
+                 scale: int = None, patch: int = 96, stride: int | None = None,
+                 mesh=None, classify_chunks: int = 1, pre_quant=None,
+                 trunk_probs=None):
         """classify_chunks > 1 runs the patchify+classify stage over image
         sub-batches via lax.map — same results, lower peak memory (the patch
         tensor is the pipeline's largest intermediate). `pre_quant` optionally
         maps the SR batch to the classifier's input dtype BEFORE patch
         extraction (e.g. tpusr.models.quant.quantize_input: int8 patches are
-        4x smaller than f32)."""
+        4x smaller than f32).
+
+        `trunk_probs` replaces the per-patch classifier with a shared-trunk
+        one: ``trunk_probs(images) -> (N, n_patches, classes)`` probs in the
+        same row-major patch order (e.g. tpusr.models.vgg_trunk — one
+        full-image conv trunk, ~2.9x fewer MACs; serving-gated). Exactly one
+        of `clf_apply` / `trunk_probs` must be given."""
+        if (clf_apply is None) == (trunk_probs is None):
+            raise ValueError("pass exactly one of clf_apply / trunk_probs")
         self.lr_hw = lr_hw
         self.scale = scale
         self.patch = patch
@@ -125,7 +134,9 @@ class FusedSRClassifyPipeline:
             sr = sr_apply(lr_batch)  # (N, hr_h, hr_w, 3)
             srq = pre_quant(sr) if pre_quant is not None else sr
             n = srq.shape[0]
-            if classify_chunks > 1 and n % classify_chunks == 0:
+            if trunk_probs is not None:
+                probs = trunk_probs(srq)
+            elif classify_chunks > 1 and n % classify_chunks == 0:
                 blocks = srq.reshape((classify_chunks, n // classify_chunks)
                                      + srq.shape[1:])
                 probs = jax.lax.map(classify_block, blocks)
@@ -152,6 +163,82 @@ class FusedSRClassifyPipeline:
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         return lr_batch.shape[0] * iters / dt
+
+
+def make_serving_pipeline(edsr_params, clf_params, lr_hw: tuple[int, int],
+                          scale: int, patch: int = 96, stride: int = 48,
+                          sr_mode: str = "int8",
+                          clf_mode: str = "shared_trunk_int8",
+                          calib_lr=None, calib_patches=None, mesh=None,
+                          num_res_blocks: int | None = None):
+    """Production serving pipeline: trained EDSR + VGG16 params -> a
+    ``FusedSRClassifyPipeline`` wired with the gated fast paths.
+
+    sr_mode:  'f32' (parity) | 'bf16' | 'int8' (PTQ, needs ``calib_lr``) —
+              all use the fused-linear-tail forward (edsr_fast/edsr_quant).
+    clf_mode: 'per_patch_f32' (reference parity path) | 'per_patch_int8'
+              (needs ``calib_patches``) | 'shared_trunk_f32' |
+              'shared_trunk_int8' — shared-trunk runs ONE full-image conv
+              trunk (~2.9x fewer MACs, tpusr.models.vgg_trunk).
+
+    Every non-parity mode is a serving mode in the int8 sense: validated at
+    protocol scale by ``python -m tpusr.tools.serving_gate`` (>=99% vote
+    agreement standard, GATE.json); 'f32' + 'per_patch_f32' reproduces the
+    reference protocol exactly (VGG16_model.py:168-270).
+    """
+    from tpusr.models import VGG16Classifier
+    from tpusr.models.edsr_fast import make_fused_sr_apply
+    from tpusr.models.layers import pixel_shuffle
+
+    if sr_mode == "int8":
+        from tpusr.models.edsr_quant import make_fused_sr_apply_int8
+
+        if calib_lr is None:
+            raise ValueError("sr_mode='int8' needs a calib_lr batch")
+        poly_fn, r = make_fused_sr_apply_int8(edsr_params, scale,
+                                              sample_lr=calib_lr)
+    elif sr_mode in ("f32", "bf16"):
+        dtype = jnp.float32 if sr_mode == "f32" else jnp.bfloat16
+        poly_fn, r = make_fused_sr_apply(edsr_params, scale, dtype=dtype)
+    else:
+        raise ValueError(f"unknown sr_mode {sr_mode!r}")
+    sr_apply = lambda x: pixel_shuffle(poly_fn(x), r).astype(jnp.float32)
+
+    num_classes = int(clf_params["predictions"]["bias"].shape[0])
+    model = VGG16Classifier(num_classes=num_classes)
+    clf_apply = trunk_probs = pre_quant = None
+    if clf_mode.endswith("int8"):
+        from tpusr.models.quant import (calibrate_vgg16, quantize_input,
+                                        quantize_vgg16)
+
+        if calib_patches is None:
+            raise ValueError(f"clf_mode={clf_mode!r} needs calib_patches")
+        qtree = quantize_vgg16(clf_params,
+                               calibrate_vgg16(clf_params, calib_patches))
+        pre_quant = lambda sr: quantize_input(qtree, sr)
+    if clf_mode == "per_patch_f32":
+        clf_apply = lambda p: model.apply({"params": clf_params}, p)
+    elif clf_mode == "per_patch_int8":
+        from tpusr.models.quant import quantized_vgg16_apply
+
+        clf_apply = lambda p: quantized_vgg16_apply(qtree, p)
+    elif clf_mode == "shared_trunk_f32":
+        from tpusr.models.vgg_trunk import shared_trunk_probs_f32
+
+        trunk_probs = lambda imgs: shared_trunk_probs_f32(
+            clf_params, imgs, patch, stride)
+    elif clf_mode == "shared_trunk_int8":
+        from tpusr.models.vgg_trunk import shared_trunk_probs_int8
+
+        trunk_probs = lambda imgs: shared_trunk_probs_int8(
+            qtree, imgs, patch, stride)
+    else:
+        raise ValueError(f"unknown clf_mode {clf_mode!r}")
+
+    return FusedSRClassifyPipeline(
+        sr_apply, clf_apply=clf_apply, lr_hw=lr_hw, scale=scale, patch=patch,
+        stride=stride, mesh=mesh, pre_quant=pre_quant,
+        trunk_probs=trunk_probs)
 
 
 def run_defect_detection_comparison(sr_methods: dict, clf_apply, x_lr, x_hr, y,
