@@ -49,8 +49,10 @@ def main():
     # Shared-trunk classifier: ONE full-image VGG16 trunk + pool-aligned
     # patch GAP extraction instead of 100 per-patch forwards (~2.9x fewer
     # MACs; tpusr/models/vgg_trunk.py). Same vote protocol; conv borders see
-    # real context instead of per-patch zero pad — serving-gated like int8.
-    use_shared_trunk = (os.environ.get("BENCH_SHARED_TRUNK", "0") == "1"
+    # real context instead of per-patch zero pad — serving default since the
+    # protocol-scale gate passed (GATE.json: 100% vote agreement on trained
+    # weights at 512x512/96/48; tpusr.tools.serving_gate).
+    use_shared_trunk = (os.environ.get("BENCH_SHARED_TRUNK", "1") == "1"
                         and use_int8)
     # bf16/f32 classifier patches are 4x the int8 ones: batch 128 needs
     # ~28 G HBM of the chip's 15.75 G, so the non-int8 paths default lower
