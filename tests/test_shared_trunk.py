@@ -136,44 +136,60 @@ def test_fused_pipeline_trunk_probs_matches_per_patch():
         FusedSRClassifyPipeline(up, lr_hw=(48, 48), scale=2)
 
 
-def test_make_serving_pipeline_modes():
-    """The serving factory wires every (sr_mode, clf_mode) combination into
-    a runnable fused pipeline; parity mode equals the hand-built one."""
+def _serving_fixture(seed=8):
     from tpusr.models import EDSR as EDSRModule
-    from tpusr.pipeline.defect_pipeline import (FusedSRClassifyPipeline,
-                                                make_serving_pipeline)
 
-    rng = np.random.default_rng(8)
+    rng = np.random.default_rng(seed)
     edsr = EDSRModule(scale_factor=4, num_res_blocks=1, num_filters=8)
     ev = edsr.init(jax.random.PRNGKey(0), jnp.zeros((1, 24, 24, 3)))
-    m, params = _center_only_params(seed=9)
-    lr_hw = (24, 24)
+    _m, params = _center_only_params(seed=9)
     calib_lr = jnp.asarray(rng.random((2, 24, 24, 3), dtype=np.float32))
     calib_patches = jnp.asarray(rng.random((4, PATCH, PATCH, 3),
                                            dtype=np.float32))
     lr = jnp.asarray(rng.random((2, 24, 24, 3), dtype=np.float32))
+    return ev["params"], params, calib_lr, calib_patches, lr
 
+
+def test_make_serving_pipeline_f32_modes():
+    """The serving factory's f32 modes run and agree with each other
+    (center-only kernels -> per-patch == shared-trunk exactly)."""
+    from tpusr.pipeline.defect_pipeline import make_serving_pipeline
+
+    e_params, c_params, calib_lr, calib_patches, lr = _serving_fixture()
     results = {}
-    for sr_mode, clf_mode in (("f32", "per_patch_f32"),
-                              ("int8", "shared_trunk_int8"),
-                              ("bf16", "per_patch_int8"),
-                              ("f32", "shared_trunk_f32")):
+    for clf_mode in ("per_patch_f32", "shared_trunk_f32"):
         pipe = make_serving_pipeline(
-            ev["params"], params, lr_hw, 4, patch=PATCH, stride=STRIDE,
+            e_params, c_params, (24, 24), 4, patch=PATCH, stride=STRIDE,
+            sr_mode="f32", clf_mode=clf_mode)
+        sr, cls, conf = pipe(lr)
+        assert sr.shape == (2, 96, 96, 3) and cls.shape == (2,)
+        results[clf_mode] = np.asarray(cls)
+    np.testing.assert_array_equal(results["per_patch_f32"],
+                                  results["shared_trunk_f32"])
+
+    with pytest.raises(ValueError, match="calib_lr"):
+        make_serving_pipeline(e_params, c_params, (24, 24), 4,
+                              sr_mode="int8", clf_mode="per_patch_f32")
+    with pytest.raises(ValueError, match="calib_patches"):
+        make_serving_pipeline(e_params, c_params, (24, 24), 4, sr_mode="f32",
+                              clf_mode="per_patch_int8")
+    with pytest.raises(ValueError, match="clf_mode"):
+        make_serving_pipeline(e_params, c_params, (24, 24), 4,
+                              sr_mode="f32", clf_mode="nope")
+
+
+@pytest.mark.slow  # int8 convs on the CPU test mesh are slow
+def test_make_serving_pipeline_quantized_modes():
+    """int8/bf16 serving combinations build and run end to end."""
+    from tpusr.pipeline.defect_pipeline import make_serving_pipeline
+
+    e_params, c_params, calib_lr, calib_patches, lr = _serving_fixture()
+    for sr_mode, clf_mode in (("int8", "shared_trunk_int8"),
+                              ("bf16", "per_patch_int8")):
+        pipe = make_serving_pipeline(
+            e_params, c_params, (24, 24), 4, patch=PATCH, stride=STRIDE,
             sr_mode=sr_mode, clf_mode=clf_mode, calib_lr=calib_lr,
             calib_patches=calib_patches)
         sr, cls, conf = pipe(lr)
-        assert sr.shape == (2, 96, 96, 3)
-        assert cls.shape == (2,)
-        results[(sr_mode, clf_mode)] = np.asarray(cls)
-
-    # parity f32 modes agree with each other (center-only kernels -> exact)
-    np.testing.assert_array_equal(results[("f32", "per_patch_f32")],
-                                  results[("f32", "shared_trunk_f32")])
-
-    with pytest.raises(ValueError, match="calib_lr"):
-        make_serving_pipeline(ev["params"], params, lr_hw, 4,
-                              sr_mode="int8", clf_mode="per_patch_f32")
-    with pytest.raises(ValueError, match="calib_patches"):
-        make_serving_pipeline(ev["params"], params, lr_hw, 4, sr_mode="f32",
-                              clf_mode="per_patch_int8")
+        assert sr.shape == (2, 96, 96, 3) and cls.shape == (2,)
+        assert np.isfinite(np.asarray(conf)).all()

@@ -253,7 +253,7 @@ def _compare(name, ref_cls, ref_conf, cls, conf, labels_h):
 
 
 def run_gate(n_images=128, size=512, clf_steps=500, edsr_steps=600, seed=0,
-             verbose=True):
+             verbose=True, mode_names=None):
     """Train at protocol scale, evaluate all serving modes, return the gate
     report dict (also see GATE.json via main())."""
     from tpusr.metrics.image import psnr as psnr_fn
@@ -336,6 +336,8 @@ def run_gate(n_images=128, size=512, clf_steps=500, edsr_steps=600, seed=0,
              lambda b: shared_trunk_probs_int8(qtree, b, PATCH, STRIDE),
              sr_int8)),
     ]
+    if mode_names is not None:  # subset for cheap harness smokes
+        runs = [(n, f) for n, f in runs if n in mode_names]
     for name, fn in runs:
         log(f"{name}...")
         cls, conf = fn()
