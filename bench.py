@@ -100,8 +100,13 @@ def main():
         from tpusr.models.edsr_quant import make_fused_sr_apply_int8
         calib_lr = jnp.asarray(np.random.default_rng(3).random(
             (4, *lr_hw, 3), dtype=np.float32))
-        sr_fused, r_last = make_fused_sr_apply_int8(sv["params"], scale,
-                                                    sample_lr=calib_lr)
+        # border_correction=False is the serving default: gated in
+        # GATE.json (100% vote agreement, conf drift unchanged); the
+        # chained-tail border band costs ~14.5 ms/iter. BENCH_SR_BORDER=1
+        # restores the exact EDSR.apply border semantics.
+        sr_fused, r_last = make_fused_sr_apply_int8(
+            sv["params"], scale, sample_lr=calib_lr,
+            border_correction=os.environ.get("BENCH_SR_BORDER", "0") == "1")
     else:
         sr_fused, r_last = make_fused_sr_apply(sv["params"], scale, dtype=dtype)
 

@@ -118,7 +118,8 @@ def _qconv(layer: dict, x: jnp.ndarray, out_dtype=jnp.bfloat16) -> jnp.ndarray:
 
 def make_fused_sr_apply_int8(params: dict, scale_factor: int,
                              sample_lr=None, act_scales: dict | None = None,
-                             res_scaling: float = 0.1):
+                             res_scaling: float = 0.1,
+                             border_correction: bool = True):
     """int8 twin of ``edsr_fast.make_fused_sr_apply``: same fused-linear-tail
     polyphase forward, every conv on the int8 MXU path, bf16 trunk.
 
@@ -126,6 +127,11 @@ def make_fused_sr_apply_int8(params: dict, scale_factor: int,
     ``pixel_shuffle(y_poly, s)`` is the SR image. Pass either precomputed
     ``act_scales`` (from ``calibrate_edsr``) or a ``sample_lr`` calibration
     batch.
+
+    ``border_correction=False`` skips the chained-tail border band (the
+    composed conv's zero padding then differs from the reference's
+    per-stage padding within ``pad`` cells of each image border — interior
+    pixels are unaffected); measured e2e gain is recorded in PERF.md.
     """
     s = scale_factor
     if act_scales is None:
@@ -153,13 +159,14 @@ def make_fused_sr_apply_int8(params: dict, scale_factor: int,
     def fn(x):
         y = body_out(x)
         z = _qconv(q["layers"]["tail"], y, out_dtype=jnp.float32)
-        # border-band correction: chained zero-padding semantics (bf16)
-        top = chained_poly(y[:, :slab])[:, :pad].astype(jnp.float32)
-        bot = chained_poly(y[:, -slab:])[:, -pad:].astype(jnp.float32)
-        left = chained_poly(y[:, :, :slab])[:, :, :pad].astype(jnp.float32)
-        right = chained_poly(y[:, :, -slab:])[:, :, -pad:].astype(jnp.float32)
-        z = z.at[:, :pad].set(top).at[:, -pad:].set(bot)
-        z = z.at[:, :, :pad].set(left).at[:, :, -pad:].set(right)
+        if border_correction:
+            # border-band correction: chained zero-padding semantics (bf16)
+            top = chained_poly(y[:, :slab])[:, :pad].astype(jnp.float32)
+            bot = chained_poly(y[:, -slab:])[:, -pad:].astype(jnp.float32)
+            left = chained_poly(y[:, :, :slab])[:, :, :pad].astype(jnp.float32)
+            right = chained_poly(y[:, :, -slab:])[:, :, -pad:].astype(jnp.float32)
+            z = z.at[:, :pad].set(top).at[:, -pad:].set(bot)
+            z = z.at[:, :, :pad].set(left).at[:, :, -pad:].set(right)
         return jnp.clip(z, 0.0, 1.0)
 
     return fn, s

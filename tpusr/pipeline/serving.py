@@ -6,8 +6,10 @@ tail), runs the one-graph pipeline, and resolves per-request futures. Fixed
 batch shapes keep XLA compile cache warm; padding rows are masked out.
 
 The reference has no serving story (notebooks only); this is part of the
-TPU-native production surface alongside the int8 classifier path
-(tpusr.models.quant).
+TPU-native production surface. Build the wrapped pipeline with
+``tpusr.pipeline.make_serving_pipeline`` to serve any gated fast
+configuration (int8 EDSR x shared-trunk int8 classifier is the bench
+default, 835 img/s/chip; GATE.json records the protocol-scale validation).
 """
 
 from __future__ import annotations

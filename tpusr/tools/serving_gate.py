@@ -294,9 +294,14 @@ def run_gate(n_images=128, size=512, clf_steps=500, edsr_steps=600, seed=0,
     f32_fn, r = make_fused_sr_apply(edsr_params, scale, dtype=jnp.float32)
     q_fn, _ = make_fused_sr_apply_int8(edsr_params, scale,
                                        sample_lr=lr_eval[:4])
+    q_fn_nb, _ = make_fused_sr_apply_int8(edsr_params, scale,
+                                          sample_lr=lr_eval[:4],
+                                          border_correction=False)
     sr_f32 = _apply_sr(f32_fn, r, lr_eval)
     sr_int8 = _apply_sr(q_fn, r, lr_eval)
+    sr_int8_nb = _apply_sr(q_fn_nb, r, lr_eval)
     psnr_sr_drift = float(jnp.mean(psnr_fn(sr_f32, sr_int8)))
+    psnr_sr_nb_drift = float(jnp.mean(psnr_fn(sr_f32, sr_int8_nb)))
 
     # classifier variants
     model = VGG16Classifier(num_classes=2)
@@ -315,6 +320,7 @@ def run_gate(n_images=128, size=512, clf_steps=500, edsr_steps=600, seed=0,
                      "clf_final_train_acc": train_acc},
         "reference_accuracy": float((ref_cls == y_eval).mean()),
         "psnr_int8_sr_vs_f32_sr_db": psnr_sr_drift,
+        "psnr_int8_noborder_sr_vs_f32_sr_db": psnr_sr_nb_drift,
         "modes": [],
     }
 
@@ -331,10 +337,17 @@ def run_gate(n_images=128, size=512, clf_steps=500, edsr_steps=600, seed=0,
              sr_f32)),
         ("int8_sr_f32_per_patch",
          lambda: per_patch_votes(f32_probs, sr_int8)),
-        ("int8_sr_shared_trunk_int8",   # the bench serving configuration
+        ("int8_sr_shared_trunk_int8",
          lambda: shared_trunk_votes(
              lambda b: shared_trunk_probs_int8(qtree, b, PATCH, STRIDE),
              sr_int8)),
+        # the bench serving configuration: composed-tail SR WITHOUT the
+        # chained-tail border band (+10% e2e; deviates from EDSR.apply only
+        # within pad cells of each image border)
+        ("int8_sr_noborder_shared_trunk_int8",
+         lambda: shared_trunk_votes(
+             lambda b: shared_trunk_probs_int8(qtree, b, PATCH, STRIDE),
+             sr_int8_nb)),
     ]
     if mode_names is not None:  # subset for cheap harness smokes
         runs = [(n, f) for n, f in runs if n in mode_names]
