@@ -170,12 +170,15 @@ def make_serving_pipeline(edsr_params, clf_params, lr_hw: tuple[int, int],
                           sr_mode: str = "int8",
                           clf_mode: str = "shared_trunk_int8",
                           calib_lr=None, calib_patches=None, mesh=None,
-                          num_res_blocks: int | None = None):
+                          sr_border_correction: bool = True):
     """Production serving pipeline: trained EDSR + VGG16 params -> a
     ``FusedSRClassifyPipeline`` wired with the gated fast paths.
 
     sr_mode:  'f32' (parity) | 'bf16' | 'int8' (PTQ, needs ``calib_lr``) —
-              all use the fused-linear-tail forward (edsr_fast/edsr_quant).
+              all use the fused-linear-tail forward (edsr_fast/edsr_quant);
+              ``sr_border_correction=False`` additionally drops the
+              chained-tail border band on the int8 path (gated: GATE.json
+              'int8_sr_noborder*', ~+10% e2e).
     clf_mode: 'per_patch_f32' (reference parity path) | 'per_patch_int8'
               (needs ``calib_patches``) | 'shared_trunk_f32' |
               'shared_trunk_int8' — shared-trunk runs ONE full-image conv
@@ -195,8 +198,9 @@ def make_serving_pipeline(edsr_params, clf_params, lr_hw: tuple[int, int],
 
         if calib_lr is None:
             raise ValueError("sr_mode='int8' needs a calib_lr batch")
-        poly_fn, r = make_fused_sr_apply_int8(edsr_params, scale,
-                                              sample_lr=calib_lr)
+        poly_fn, r = make_fused_sr_apply_int8(
+            edsr_params, scale, sample_lr=calib_lr,
+            border_correction=sr_border_correction)
     elif sr_mode in ("f32", "bf16"):
         dtype = jnp.float32 if sr_mode == "f32" else jnp.bfloat16
         poly_fn, r = make_fused_sr_apply(edsr_params, scale, dtype=dtype)
