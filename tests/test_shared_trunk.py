@@ -193,3 +193,30 @@ def test_make_serving_pipeline_quantized_modes():
         sr, cls, conf = pipe(lr)
         assert sr.shape == (2, 96, 96, 3) and cls.shape == (2,)
         assert np.isfinite(np.asarray(conf)).all()
+
+
+def test_shared_trunk_nonsquare_and_multiclass():
+    """Non-square images and >2 classes go through the same alignment
+    machinery exactly (center-tap kernels -> per-patch equality)."""
+    m, params = _center_only_params(seed=10, num_classes=3)
+    rng = np.random.default_rng(11)
+    imgs = jnp.asarray(rng.random((1, 96, 144, 3), dtype=np.float32))
+
+    got = np.asarray(shared_trunk_probs_f32(params, imgs, PATCH, STRIDE))
+    patches = _reference_patches(imgs[0], PATCH, STRIDE)
+    want = np.asarray(m.apply({"params": params}, patches))
+    assert got.shape[2] == 3
+    np.testing.assert_allclose(got[0], want, atol=1e-5)
+
+
+def test_shared_trunk_nonoverlapping_stride():
+    """stride == patch (96/96, non-overlapping grid) also aligns: stride
+    multiple of 16, patch multiple of 32."""
+    m, params = _center_only_params(seed=12)
+    rng = np.random.default_rng(13)
+    imgs = jnp.asarray(rng.random((1, 96, 96, 3), dtype=np.float32))
+    got = np.asarray(shared_trunk_probs_f32(params, imgs, PATCH, stride=96))
+    patches = _reference_patches(imgs[0], PATCH, 96)
+    want = np.asarray(m.apply({"params": params}, patches))
+    assert got.shape[1] == patches.shape[0]  # 1 patch per dim here
+    np.testing.assert_allclose(got[0], want, atol=1e-5)
