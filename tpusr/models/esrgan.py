@@ -63,6 +63,11 @@ class ESRGANGenerator(nn.Module):
     num_rrdb_blocks: int = 23
     channels: int = 3
     base_filters: int = 64
+    # blockwise (online-softmax) attention: bounds activation memory at
+    # O(HW * block) instead of the dense HW^2 map — full-image SR at sizes
+    # where dense attention OOMs (SURVEY §5 long-context analog). Same
+    # params/math; must divide the token count at each attention site.
+    attention_block_size: int | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -73,7 +78,8 @@ class ESRGANGenerator(nn.Module):
             y = RRDB(self.growth_channels, name=f"rrdb_{i}")(y)
         y = nn.Conv(f, (3, 3), padding="SAME", name="trunk_conv")(y)
         y = trunk_in + y
-        y = SelfAttention(f, name="self_attention_trunk")(y)
+        y = SelfAttention(f, block_size=self.attention_block_size,
+                          name="self_attention_trunk")(y)
 
         num_up = int(math.log2(self.scale_factor))
         for i in range(num_up):
@@ -81,7 +87,8 @@ class ESRGANGenerator(nn.Module):
             y = pixel_shuffle(y, 2)
             y = nn.leaky_relu(y, negative_slope=0.2)
             if i == 0:
-                y = SelfAttention(f, name="self_attention_upsample_0")(y)
+                y = SelfAttention(f, block_size=self.attention_block_size,
+                                  name="self_attention_upsample_0")(y)
 
         y = nn.relu(nn.Conv(f, (3, 3), padding="SAME", name="final_conv1")(y))
         y = nn.Conv(self.channels, (3, 3), padding="SAME", name="final_conv2")(y)

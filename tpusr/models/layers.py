@@ -93,15 +93,56 @@ class SNDense(nn.Module):
         return x @ ((kernel / sigma).astype(x.dtype)) + bias.astype(x.dtype)
 
 
+def _streaming_attention(gg, ff, hf, block_size: int):
+    """Exact softmax attention with O(HW * block) memory: scan over key
+    blocks with a running (max, denominator, numerator) — the standard
+    online-softmax / flash-attention recurrence, written for XLA. HW must be
+    divisible by block_size (callers pad tokens; padded keys are excluded by
+    construction because they are never included in the scanned blocks)."""
+    b, n, dk = gg.shape
+    dv = hf.shape[-1]
+    nb = n // block_size
+    ff_b = ff.reshape(b, nb, block_size, dk)
+    hf_b = hf.reshape(b, nb, block_size, dv)
+
+    def step(carry, blk):
+        m, l, acc = carry
+        f_i, h_i = blk
+        s = jnp.einsum("bic,bjc->bij", gg, f_i, precision=_HI)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        scale = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new[..., None])
+        l_new = l * scale + jnp.sum(p, axis=-1)
+        acc_new = acc * scale[..., None] + jnp.einsum(
+            "bij,bjc->bic", p, h_i, precision=_HI)
+        return (m_new, l_new, acc_new), None
+
+    init = (jnp.full((b, n), -jnp.inf, gg.dtype),
+            jnp.zeros((b, n), gg.dtype),
+            jnp.zeros((b, n, dv), gg.dtype))
+    (m, l, acc), _ = jax.lax.scan(
+        step, init, (jnp.moveaxis(ff_b, 1, 0), jnp.moveaxis(hf_b, 1, 0)))
+    return acc / l[..., None]
+
+
 class SelfAttention(nn.Module):
     """SAGAN-style self-attention over HW tokens (ESRGAN_model.py:30-79).
 
     f, g project to C//8, h to C//2, output projection v back to C; the
     attention map is softmax(g @ f^T) over all HW positions; the residual is a
     straight add (no learned gamma, matching the reference).
+
+    ``block_size``: when set, the (HW, HW) attention matrix is never
+    materialized — keys/values stream through an exact online-softmax scan
+    in blocks of ``block_size`` tokens (SURVEY §5's long-context analog:
+    activation memory becomes O(HW * block) instead of O(HW^2), enabling
+    full-image ESRGAN SR at sizes where dense attention OOMs). Same
+    parameters, same math; outputs match the dense path to float
+    round-off. ``block_size`` must divide the token count HW.
     """
 
     channels: int
+    block_size: int | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -114,9 +155,17 @@ class SelfAttention(nn.Module):
         gg = g.reshape(b, hh * ww, -1)
         hf = h.reshape(b, hh * ww, -1)
 
-        s = jnp.einsum("bic,bjc->bij", gg, ff, precision=_HI)  # (B, HW, HW)
-        beta = jax.nn.softmax(s, axis=-1)
-        o = jnp.einsum("bij,bjc->bic", beta, hf, precision=_HI)
+        if self.block_size is None or hh * ww <= self.block_size:
+            s = jnp.einsum("bic,bjc->bij", gg, ff, precision=_HI)
+            beta = jax.nn.softmax(s, axis=-1)
+            o = jnp.einsum("bij,bjc->bic", beta, hf, precision=_HI)
+        else:
+            n = hh * ww
+            if n % self.block_size:
+                raise ValueError(
+                    f"block_size {self.block_size} must divide HW={n} "
+                    f"(choose a divisor of the token count)")
+            o = _streaming_attention(gg, ff, hf, self.block_size)
         o = o.reshape(b, hh, ww, self.channels // 2)
         o = nn.Conv(self.channels, (1, 1), name="v")(o)
         return x + o
