@@ -1,0 +1,49 @@
+"""Sequence-parallel analog (SURVEY §5): ring attention over a sharded token
+axis and spatially-sharded full-image ESRGAN SR — exact equality with the
+dense single-device paths on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpusr.dist import make_mesh, make_ring_attention, full_image_esrgan_sr
+from tpusr.models import ESRGANGenerator
+from tpusr.models.layers import SelfAttention
+
+
+def test_ring_attention_matches_dense():
+    mesh = make_mesh(8)
+    dense = SelfAttention(channels=16)
+    x = jnp.asarray(np.random.default_rng(0).random((2, 8, 8, 16),
+                                                    dtype=np.float32))
+    v = dense.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(dense.apply(v, x))
+
+    ring = SelfAttention(channels=16,
+                         attention_fn=make_ring_attention(mesh))
+    got = np.asarray(ring.apply(v, x))  # same params; 64 tokens over 8 devs
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_ring_attention_rejects_indivisible_tokens():
+    mesh = make_mesh(8)
+    attn = make_ring_attention(mesh)
+    bad = jnp.zeros((1, 12, 4))  # 12 tokens not divisible by 8
+    with pytest.raises(ValueError, match="not divisible"):
+        attn(bad, bad, bad)
+
+
+def test_full_image_sr_matches_unsharded():
+    mesh = make_mesh(8)
+    gen = ESRGANGenerator(scale_factor=2, growth_channels=4,
+                          num_rrdb_blocks=1, base_filters=8)
+    x = jnp.asarray(np.random.default_rng(1).random((1, 16, 16, 3),
+                                                    dtype=np.float32) * 2 - 1)
+    v = gen.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(gen.apply(v, x))  # dense, single logical device
+
+    got = full_image_esrgan_sr(gen, v, x, mesh)
+    assert got.sharding.spec == jax.sharding.PartitionSpec(None, "data")
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-5, rtol=3e-5)

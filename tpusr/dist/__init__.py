@@ -6,3 +6,8 @@ from tpusr.dist.mesh import (
     replicate,
     pad_to_multiple,
 )
+from tpusr.dist.spatial import (
+    make_ring_attention,
+    spatial_sharding,
+    full_image_esrgan_sr,
+)

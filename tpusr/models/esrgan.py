@@ -15,6 +15,7 @@ Architecture parity with ``SRModels/deep_learning_models/ESRGAN_model.py``:
 from __future__ import annotations
 
 import math
+import typing
 
 import jax.numpy as jnp
 import flax.linen as nn
@@ -68,6 +69,9 @@ class ESRGANGenerator(nn.Module):
     # where dense attention OOMs (SURVEY §5 long-context analog). Same
     # params/math; must divide the token count at each attention site.
     attention_block_size: int | None = None
+    # full override of the attention inner computation (ring attention over
+    # a sharded token axis — see tpusr.dist.spatial); same params/math.
+    attention_fn: "typing.Callable | None" = None
 
     @nn.compact
     def __call__(self, x):
@@ -79,6 +83,7 @@ class ESRGANGenerator(nn.Module):
         y = nn.Conv(f, (3, 3), padding="SAME", name="trunk_conv")(y)
         y = trunk_in + y
         y = SelfAttention(f, block_size=self.attention_block_size,
+                          attention_fn=self.attention_fn,
                           name="self_attention_trunk")(y)
 
         num_up = int(math.log2(self.scale_factor))
@@ -88,6 +93,7 @@ class ESRGANGenerator(nn.Module):
             y = nn.leaky_relu(y, negative_slope=0.2)
             if i == 0:
                 y = SelfAttention(f, block_size=self.attention_block_size,
+                                  attention_fn=self.attention_fn,
                                   name="self_attention_upsample_0")(y)
 
         y = nn.relu(nn.Conv(f, (3, 3), padding="SAME", name="final_conv1")(y))

@@ -21,6 +21,8 @@ References:
 
 from __future__ import annotations
 
+import typing
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -139,10 +141,18 @@ class SelfAttention(nn.Module):
     full-image ESRGAN SR at sizes where dense attention OOMs). Same
     parameters, same math; outputs match the dense path to float
     round-off. ``block_size`` must divide the token count HW.
+
+    ``attention_fn``: full override of the attention inner computation —
+    called as ``attention_fn(gg, ff, hf) -> o`` with (B, HW, d) token
+    tensors (queries=g-proj, keys=f-proj, values=h-proj). Used by
+    ``tpusr.dist.spatial`` to run ring attention with the token axis
+    sharded over a device mesh (SURVEY §5 sequence-parallel analog).
+    Takes precedence over ``block_size``.
     """
 
     channels: int
     block_size: int | None = None
+    attention_fn: "typing.Callable | None" = None
 
     @nn.compact
     def __call__(self, x):
@@ -155,7 +165,9 @@ class SelfAttention(nn.Module):
         gg = g.reshape(b, hh * ww, -1)
         hf = h.reshape(b, hh * ww, -1)
 
-        if self.block_size is None or hh * ww <= self.block_size:
+        if self.attention_fn is not None:
+            o = self.attention_fn(gg, ff, hf)
+        elif self.block_size is None or hh * ww <= self.block_size:
             s = jnp.einsum("bic,bjc->bij", gg, ff, precision=_HI)
             beta = jax.nn.softmax(s, axis=-1)
             o = jnp.einsum("bij,bjc->bic", beta, hf, precision=_HI)
