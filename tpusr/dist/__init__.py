@@ -6,6 +6,11 @@ from tpusr.dist.mesh import (
     replicate,
     pad_to_multiple,
 )
+from tpusr.dist.tp import (
+    make_tp_mesh,
+    tp_spec,
+    shard_params_tp,
+)
 from tpusr.dist.spatial import (
     make_ring_attention,
     spatial_sharding,
