@@ -69,6 +69,9 @@ def test_esrgan_facade_lifecycle():
     sr, _ = m.super_resolve_image(x[0], patch_size_lr=8, stride=4)
     assert sr.shape == (16, 16, 3)
     assert 0.0 <= sr.min() and sr.max() <= 1.0
+    sr_full, fm = m.super_resolve_full_image(x[0], attention_block_size=16)
+    assert sr_full.shape == (16, 16, 3) and "time_sec" in fm
+    assert 0.0 <= sr_full.min() and sr_full.max() <= 1.0
 
 
 def test_vgg16_facade_lifecycle(tmp_path):

@@ -47,3 +47,29 @@ def test_full_image_sr_matches_unsharded():
     got = full_image_esrgan_sr(gen, v, x, mesh)
     assert got.sharding.spec == jax.sharding.PartitionSpec(None, "data")
     np.testing.assert_allclose(np.asarray(got), want, atol=3e-5, rtol=3e-5)
+
+
+def test_super_resolve_full_image_blockwise_and_mesh_paths():
+    from tpusr.pipeline import super_resolve_full_image
+    from tpusr.pipeline.inference import _largest_divisor_at_most
+
+    assert _largest_divisor_at_most(64, 48) == 32
+    assert _largest_divisor_at_most(17, 4) == 1  # prime falls back to dense-ish
+
+    gen = ESRGANGenerator(scale_factor=2, growth_channels=4,
+                          num_rrdb_blocks=1, base_filters=8)
+    lr = np.random.default_rng(3).random((16, 16, 3), dtype=np.float32)
+    v = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    want = np.clip(
+        (np.asarray(gen.apply(v, jnp.asarray(lr)[None] * 2 - 1))[0] + 1) / 2,
+        0, 1)
+
+    # single-device blockwise path (block 64 divides 256 tokens)
+    sr_b, metrics = super_resolve_full_image(gen, v, lr,
+                                             attention_block_size=64)
+    assert sr_b.shape == (32, 32, 3) and "time_sec" in metrics
+    np.testing.assert_allclose(sr_b, want, atol=3e-5, rtol=3e-5)
+
+    # mesh path (H=16 divisible by 8): ring attention + H sharding
+    sr_m, _ = super_resolve_full_image(gen, v, lr, mesh=make_mesh(8))
+    np.testing.assert_allclose(sr_m, want, atol=5e-5, rtol=5e-5)

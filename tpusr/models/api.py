@@ -361,6 +361,21 @@ class ESRGAN:
                                    stride=stride, scale=self.scale_factor,
                                    normalize_pm1=True)
 
+    def super_resolve_full_image(self, lr_img, attention_block_size=4096):
+        """Full-image SR: the whole image through the generator in one graph
+        (no patch decomposition / overlap-add — TPU-native extension of
+        ``ESRGAN_model.py:858-979``). Attention memory is bounded by
+        blockwise online-softmax, or by ring attention over ``self.mesh``
+        when one is set (see ``tpusr.pipeline.super_resolve_full_image``).
+        Returns (sr_img in [0,1], metrics dict)."""
+        from tpusr.pipeline.inference import super_resolve_full_image
+
+        if not self.trained:
+            raise RuntimeError("Model has not been trained or loaded.")
+        return super_resolve_full_image(
+            self.generator, {"params": self.state.g_params}, lr_img,
+            mesh=self.mesh, attention_block_size=attention_block_size)
+
     def save(self, directory, timestamp):
         if not self.trained:
             raise RuntimeError("Cannot save an untrained model.")

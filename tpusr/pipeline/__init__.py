@@ -1,6 +1,7 @@
 from tpusr.pipeline.inference import (
     sr_inference_fn,
     super_resolve_image,
+    super_resolve_full_image,
     srcnn_super_resolve,
 )
 from tpusr.pipeline.defect_pipeline import (

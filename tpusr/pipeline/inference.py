@@ -168,3 +168,51 @@ def srcnn_super_resolve(apply_fn, lr_img, hr_h: int, hr_w: int,
 
         cached = _cache_put(key, apply_fn, fn)
     return _timed_call(cached, lr_img)
+
+
+def _largest_divisor_at_most(n: int, cap: int) -> int:
+    for d in range(min(cap, n), 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
+def super_resolve_full_image(generator, variables, lr_img, mesh=None,
+                             attention_block_size: int = 4096,
+                             axis: str = "data"):
+    """Full-image ESRGAN SR — no patch decomposition, no overlap-add.
+
+    TPU-native extension of the reference's patch pipeline
+    (``ESRGAN_model.py:858-979``): the whole image goes through the
+    generator in one graph, so there are no patch-seam artifacts and no
+    overlap recomputation. The dense self-attention map is O((HW)^2) and is
+    what normally forbids this (SURVEY §5 long-context analog); here it is
+    bounded by:
+
+    - single device: blockwise online-softmax attention
+      (``models/layers.py``) with the largest block <= attention_block_size
+      that divides the token count — O(HW * block) memory;
+    - ``mesh``: spatial H-axis sharding + ring attention over the sharded
+      token axis (``dist/spatial.py``) when H is divisible by the mesh axis
+      size — each device holds HW/n_dev tokens, key/value blocks stream
+      around the ring on ICI.
+
+    Input in [0,1]; returns (sr_img in [0,1], metrics dict) with the same
+    metrics fields as ``super_resolve_image``.
+    """
+    lr = jnp.asarray(np.asarray(lr_img, np.float32))
+    x = lr[None] * 2.0 - 1.0
+    h, w = int(lr.shape[0]), int(lr.shape[1])
+
+    if mesh is not None and h % mesh.shape[axis] == 0:
+        from tpusr.dist.spatial import full_image_esrgan_sr
+
+        def fn(xb):  # jits internally with the H-sharded layout
+            return full_image_esrgan_sr(generator, variables, xb, mesh, axis)
+    else:
+        block = _largest_divisor_at_most(h * w, attention_block_size)
+        gen = generator.clone(attention_block_size=block, attention_fn=None)
+        fn = jax.jit(lambda xb: gen.apply(variables, xb))
+
+    sr, metrics = _timed_call(fn, x)
+    return np.asarray(jnp.clip((sr[0] + 1.0) / 2.0, 0.0, 1.0)), metrics
