@@ -113,6 +113,12 @@ def full_image_esrgan_sr(gen, variables, img, mesh: Mesh, axis: str = "data"):
     exchange), so the result equals the unsharded ``gen.apply`` exactly —
     asserted in tests/test_spatial.py.
     """
+    n_dev = mesh.shape[axis]
+    if img.shape[1] % n_dev:
+        raise ValueError(
+            f"full_image_esrgan_sr: H={img.shape[1]} not divisible by mesh "
+            f"axis '{axis}' size {n_dev} (pad the image or pick a mesh "
+            f"shape that divides H)")
     ring = make_ring_attention(mesh, axis)
     sharded_gen = gen.clone(attention_fn=ring, attention_block_size=None)
     in_sh = spatial_sharding(mesh, axis)
