@@ -38,6 +38,7 @@ def test_blockwise_attention_dense_fallback_and_divisibility():
         bad.init(jax.random.PRNGKey(0), x)
 
 
+@pytest.mark.slow  # 19s double-generator compile; the layer-level equality test above stays quick
 def test_generator_blockwise_matches_dense():
     gen_d = ESRGANGenerator(scale_factor=2, growth_channels=4,
                             num_rrdb_blocks=1, base_filters=8)

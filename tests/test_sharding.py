@@ -92,6 +92,7 @@ def test_fused_pipeline_sharded_batch():
     np.testing.assert_array_equal(np.asarray(cls_plain), np.asarray(cls_sh))
 
 
+@pytest.mark.slow  # 54s subprocess bootstrap; the driver runs dryrun_multichip directly every round
 def test_dryrun_multichip_4_devices():
     import __graft_entry__ as ge
     ge.dryrun_multichip(4)

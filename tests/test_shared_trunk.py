@@ -70,6 +70,7 @@ def test_shared_trunk_exact_vs_per_patch_f32():
         np.testing.assert_allclose(got[i], want, atol=1e-5)
 
 
+@pytest.mark.slow  # 59s; int8 agreement also covered by test_quant + GATE.json, f32 exactness stays quick
 def test_shared_trunk_exact_vs_per_patch_int8():
     # 96x96 image (2x2 patch grid) — int8 convs on the CPU test mesh are
     # slow; the f32 twin covers the larger 128x128 geometry

@@ -59,6 +59,7 @@ def test_facade_fit_uses_loaded_state(clf_data):
         np.testing.assert_array_equal(np.asarray(leaf), np.float32(0.321))
 
 
+@pytest.mark.slow  # 25s TF-oracle VGG16 build; l2 wiring itself is exercised by the quick trainer tests
 def test_l2_reg_matches_keras_penalty(clf_data):
     """Loss(l2_reg) - Loss(0) on identical params/batch/dropout-key must equal
     the Keras l2 regularizer value on the Dense-256 kernel."""
