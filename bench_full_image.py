@@ -33,8 +33,9 @@ def main():
 
     def chain(xin):
         def body(_, y):
-            # data-dependent chaining so XLA cannot collapse the loop
-            return gen.apply(v, jnp.clip(y, -1.0, 1.0))
+            # data-dependent chaining so XLA cannot collapse the loop;
+            # subsample the SR output back to the LR carry shape
+            return gen.apply(v, jnp.clip(y, -1.0, 1.0))[:, ::2, ::2, :]
         return jax.lax.fori_loop(0, REPS, body, xin)
 
     fn = jax.jit(chain)
@@ -54,14 +55,16 @@ def main():
 
     gen_p = ESRGANGenerator(scale_factor=2, growth_channels=8,
                             num_rrdb_blocks=4)
-    apply_fn = lambda p: gen_p.apply(v, p)
+    vf = jax.tree.map(lambda a: a.astype(jnp.float32), v)
+    apply_fn = lambda p: gen_p.apply(vf, p)
     pf = _cached_sr_fn(apply_fn, (HW, HW), 48, 24, 2, (-1.0, 1.0))
-    img01 = ((x[0] + 1) / 2).astype(jnp.bfloat16)
+    img01 = (x[0] + 1) / 2  # f32: the bf16 overlap-add path trips a Mosaic
+    # compiler bug ("Bad lhs type" on a bf16x bf16 -> f32 vector matmul)
 
     def pchain(xin):
         def body(_, y):
             sr = pf(jnp.clip(y, 0.0, 1.0))
-            return sr.astype(jnp.bfloat16)[::2, ::2]  # back to LR size
+            return sr[::2, ::2]  # back to LR size
         return jax.lax.fori_loop(0, REPS, body, xin)
 
     pfn = jax.jit(pchain)
@@ -72,7 +75,20 @@ def main():
     np.asarray(out[0, 0, 0])
     dt = (time.perf_counter() - t0) / REPS
     print(f"patch-based ESRGAN x2 (48/24 overlap-add, dense attention, "
-          f"bf16): {dt*1e3:.1f} ms/img = {1.0/dt:.1f} img/s")
+          f"f32): {dt*1e3:.1f} ms/img = {1.0/dt:.1f} img/s")
+
+    # f32 full-image for the apples-to-apples comparison
+    gen32 = gen.clone()
+    def chain32(xin):
+        def body(_, y):
+            return gen32.apply(vf, jnp.clip(y, -1.0, 1.0))[:, ::2, ::2, :]
+        return jax.lax.fori_loop(0, REPS, body, xin)
+    f32fn = jax.jit(chain32)
+    out = f32fn(x); hard_sync(out)
+    t0 = time.perf_counter(); out = f32fn(x); hard_sync(out)
+    dt = (time.perf_counter() - t0) / REPS
+    print(f"full-image ESRGAN x2 (blockwise attention, f32): "
+          f"{dt*1e3:.1f} ms/img = {1.0/dt:.1f} img/s")
 
 
 if __name__ == "__main__":
