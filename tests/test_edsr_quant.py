@@ -38,6 +38,26 @@ def test_int8_sr_tracks_f32(scale):
     assert drift > 30.0, drift
 
 
+def test_int8_carry_matches_bf16_glue():
+    """The fused ReLU+requant carry (int8 conv1->conv2 handoff) must track
+    the default bf16-glue path closely — it changes only rounding inside
+    each res block, not the quantization grid (PERF.md round 3: measured
+    throughput-neutral on-chip, kept as a documented variant)."""
+    m = EDSR(scale_factor=2, num_res_blocks=2, num_filters=8)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    x = jnp.asarray(np.random.default_rng(5).random((2, 16, 16, 3),
+                                                    dtype=np.float32))
+    fn_a, s_a = make_fused_sr_apply_int8(v["params"], 2, sample_lr=x)
+    fn_b, s_b = make_fused_sr_apply_int8(v["params"], 2, sample_lr=x,
+                                         int8_carry=True)
+    assert s_a == s_b
+    sr_a = pixel_shuffle(fn_a(x), s_a)
+    sr_b = pixel_shuffle(fn_b(x), s_b)
+    # random weights, differs only in per-block rounding: ~39 dB mutual
+    # agreement here; identical PSNR-vs-f32 at bench geometry (PERF.md)
+    assert float(jnp.mean(psnr(sr_a, sr_b))) > 35.0
+
+
 def test_calibration_scales_cover_every_conv():
     m = EDSR(scale_factor=2, num_res_blocks=3, num_filters=8)
     v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))

@@ -99,6 +99,16 @@ def quantize_edsr(params: dict, scale_factor: int, act_scales: dict) -> dict:
             p32[f"res{i}"]["conv1"]["bias"])
         add(f"res{i}_conv2", p32[f"res{i}"]["conv2"]["kernel"],
             p32[f"res{i}"]["conv2"]["bias"])
+        # int8-carry requant for conv1 -> conv2 (same trick as the VGG16
+        # classifier, quant.py:76-84): conv1's output is ReLU'd and then
+        # immediately re-quantized for conv2, so its int32 accumulator can be
+        # rescaled STRAIGHT to conv2's int8 input grid — clip(.,0,127) is the
+        # ReLU, +0.5 in the bias makes the truncating cast round-half-up —
+        # skipping the bf16 round trip + separate round/mult per res block.
+        l1 = q["layers"][f"res{i}_conv1"]
+        s_in2 = act_scales[f"res{i}_conv2"]
+        l1["rescale_carry"] = (l1["rescale"] / s_in2).astype(jnp.float32)
+        l1["bias_carry"] = (l1["bias"] / s_in2 + 0.5).astype(jnp.float32)
     add("body", p32["body"]["kernel"], p32["body"]["bias"])
     add("tail", w_eff, b_eff)
     q["n_res"] = n_res
@@ -116,10 +126,32 @@ def _qconv(layer: dict, x: jnp.ndarray, out_dtype=jnp.bfloat16) -> jnp.ndarray:
             + layer["bias"]).astype(out_dtype)
 
 
+def _qconv_int8_out(layer: dict, x8: jnp.ndarray) -> jnp.ndarray:
+    """int8 input -> int8 conv -> ReLU + requant fused into one rescale
+    (clip to [0,127] is the ReLU; truncating cast rounds half-up via the
+    +0.5 folded into ``bias_carry``). Output is the NEXT conv's int8 input."""
+    y = jax.lax.conv_general_dilated(
+        x8, layer["kernel_q"], (1, 1), "SAME", dimension_numbers=_DN,
+        preferred_element_type=jnp.int32)
+    yf = y.astype(jnp.float32) * layer["rescale_carry"] + layer["bias_carry"]
+    return jnp.clip(yf, 0.0, 127.0).astype(jnp.int8)
+
+
+def _quantize_in(layer: dict, x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(jnp.round(x.astype(jnp.float32) * layer["inv_s_in"]),
+                    -127, 127).astype(jnp.int8)
+
+
+def _dequant(layer: dict, y_i32: jnp.ndarray, out_dtype=jnp.bfloat16):
+    return (y_i32.astype(jnp.float32) * layer["rescale"]
+            + layer["bias"]).astype(out_dtype)
+
+
 def make_fused_sr_apply_int8(params: dict, scale_factor: int,
                              sample_lr=None, act_scales: dict | None = None,
                              res_scaling: float = 0.1,
-                             border_correction: bool = True):
+                             border_correction: bool = True,
+                             int8_carry: bool = False):
     """int8 twin of ``edsr_fast.make_fused_sr_apply``: same fused-linear-tail
     polyphase forward, every conv on the int8 MXU path, bf16 trunk.
 
@@ -132,6 +164,13 @@ def make_fused_sr_apply_int8(params: dict, scale_factor: int,
     composed conv's zero padding then differs from the reference's
     per-stage padding within ``pad`` cells of each image border — interior
     pixels are unaffected); measured e2e gain is recorded in PERF.md.
+
+    ``int8_carry=True`` keeps the res-block conv1->conv2 handoff in int8
+    (ReLU+requant fused into one rescale, like the VGG16 classifier's
+    ``quant.py`` carry) instead of round-tripping through bf16. Measured
+    throughput-neutral at the bench geometry (PERF.md round 3: 44.3 vs
+    44.4 ms/iter, identical PSNR) — XLA already fuses the bf16 glue — so
+    the default stays the bench-validated bf16-glue path.
     """
     s = scale_factor
     if act_scales is None:
@@ -147,8 +186,19 @@ def make_fused_sr_apply_int8(params: dict, scale_factor: int,
         head = _qconv(q["layers"]["head"], x)
         y = head
         for i in range(q["n_res"]):
-            t = jax.nn.relu(_qconv(q["layers"][f"res{i}_conv1"], y))
-            t = _qconv(q["layers"][f"res{i}_conv2"], t)
+            l1, l2 = q["layers"][f"res{i}_conv1"], q["layers"][f"res{i}_conv2"]
+            if int8_carry:
+                # conv1 -> (fused ReLU+requant, stays int8) -> conv2: no bf16
+                # round trip inside the block (see quantize_edsr)
+                t8 = _qconv_int8_out(l1, _quantize_in(l1, y))
+                z = jax.lax.conv_general_dilated(
+                    t8, l2["kernel_q"], (1, 1), "SAME",
+                    dimension_numbers=_DN,
+                    preferred_element_type=jnp.int32)
+                t = _dequant(l2, z)
+            else:
+                t = jax.nn.relu(_qconv(l1, y))
+                t = _qconv(l2, t)
             y = y + jnp.bfloat16(res_scaling) * t
         return _qconv(q["layers"]["body"], y) + head
 
