@@ -74,6 +74,7 @@ def test_esrgan_facade_lifecycle():
     assert 0.0 <= sr_full.min() and sr_full.max() <= 1.0
 
 
+@pytest.mark.slow  # 36s real-size VGG16; facade machinery stays quick via the SRCNN/EDSR lifecycles, VGG16 trainer semantics via test_trainer_semantics
 def test_vgg16_facade_lifecycle(tmp_path):
     rng = np.random.default_rng(4)
     x0 = rng.random((16, 32, 32, 3), dtype=np.float32) * 0.3

@@ -4,11 +4,13 @@ the f32 reference closely."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from tpusr.models import VGG16Classifier
 from tpusr.models.quant import calibrate_vgg16, quantize_vgg16, quantized_vgg16_apply
 
 
+@pytest.mark.slow  # 41s (two full real-size VGG16 compiles); int8 fidelity stays quick via test_edsr_quant, and the protocol-scale trained-weight gate is GATE.json (tools/serving_gate.py)
 def test_quantized_probs_track_f32():
     rng = np.random.default_rng(0)
     m = VGG16Classifier(num_classes=2)

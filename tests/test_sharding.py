@@ -50,6 +50,7 @@ def test_data_parallel_step_matches_single_device(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.slow  # 46s real-VGG19 GAN graph; DP GAN step is certified every round by the driver's dryrun_multichip, and DP step==single equality stays quick above
 def test_gan_step_data_parallel():
     mesh = make_mesh()
     rng = np.random.default_rng(1)

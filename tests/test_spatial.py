@@ -35,6 +35,7 @@ def test_ring_attention_rejects_indivisible_tokens():
         attn(bad, bad, bad)
 
 
+@pytest.mark.slow  # 20s; the driver's dryrun_multichip asserts sp_full_image_sr_maxerr every round, and ring_attention==dense stays quick above
 def test_full_image_sr_matches_unsharded():
     mesh = make_mesh(8)
     gen = ESRGANGenerator(scale_factor=2, growth_channels=4,

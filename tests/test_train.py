@@ -2,16 +2,28 @@
 checkpoint round-trips, GAN step runs and improves pixel fidelity."""
 
 import numpy as np
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import pytest
 
-from tpusr.models import SRCNN, EDSR, ESRGANGenerator, ESRGANDiscriminator, VGG16Classifier, VGG19Features
+from tpusr.models import SRCNN, EDSR, ESRGANGenerator, ESRGANDiscriminator, VGG16Classifier
 from tpusr.train import (
     SupervisedSRTrainer, ClassifierTrainer, ESRGANTrainer,
     EarlyStopping, ReduceLROnPlateau,
     save_checkpoint, restore_checkpoint,
 )
+
+
+class _TinyFeatures(nn.Module):
+    """Stand-in perceptual net for quick-loop GAN tests: same interface as
+    VGG19Features at a fraction of the compile cost. Real-VGG19 GAN graphs
+    are certified every round by the driver's dryrun_multichip and by the
+    slow-suite ESRGAN facade test."""
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(8, (3, 3))(nn.relu(nn.Conv(8, (3, 3))(x)))
 
 
 @pytest.fixture(scope="module")
@@ -88,7 +100,7 @@ def test_gan_trainer_single_step_and_eval():
 
     gen = ESRGANGenerator(scale_factor=2, growth_channels=4, num_rrdb_blocks=1)
     disc = ESRGANDiscriminator()
-    vgg = VGG19Features()
+    vgg = _TinyFeatures()
     vgg_params = vgg.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))["params"]
 
     trainer = ESRGANTrainer(gen, disc, vgg, vgg_params)
@@ -107,7 +119,7 @@ def test_gan_epoch_sampling_is_permutation():
     once (reference shuffles without replacement, ESRGAN_model.py:578-598)."""
     gen = ESRGANGenerator(scale_factor=2, growth_channels=4, num_rrdb_blocks=1)
     disc = ESRGANDiscriminator()
-    vgg = VGG19Features()
+    vgg = _TinyFeatures()
     vgg_params = vgg.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))["params"]
     trainer = ESRGANTrainer(gen, disc, vgg, vgg_params)
 
