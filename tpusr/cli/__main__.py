@@ -168,8 +168,9 @@ def cmd_train_srcnn(args):
     x, y, hr_hw = _load_sr_patches(args, "srcnn", cfg.patch_size, cfg.stride, 1)
     x_tr, y_tr, x_va, y_va, x_te, y_te = _split(x, y)
     mesh = make_mesh() if args.data_parallel else None
-    trainer = SupervisedSRTrainer(SRCNN(), learning_rate=cfg.learning_rate,
-                                  mesh=mesh)
+    trainer = SupervisedSRTrainer(
+        SRCNN(), learning_rate=cfg.learning_rate, mesh=mesh,
+        compute_dtype="bfloat16" if args.bf16 else "float32")
     res = trainer.fit(x_tr, y_tr, x_va, y_va, batch_size=cfg.batch_size,
                       epochs=cfg.epochs, es_patience=cfg.es_patience,
                       plateau_patience=cfg.plateau_patience)
@@ -195,8 +196,9 @@ def cmd_train_edsr(args):
     model = EDSR(scale_factor=cfg.scale_factor,
                  num_res_blocks=cfg.num_res_blocks,
                  num_filters=cfg.num_filters, res_scaling=cfg.res_scaling)
-    trainer = SupervisedSRTrainer(model, learning_rate=cfg.learning_rate,
-                                  clipnorm=cfg.clipnorm, mesh=mesh)
+    trainer = SupervisedSRTrainer(
+        model, learning_rate=cfg.learning_rate, clipnorm=cfg.clipnorm,
+        mesh=mesh, compute_dtype="bfloat16" if args.bf16 else "float32")
     res = trainer.fit(x_tr, y_tr, x_va, y_va, batch_size=cfg.batch_size,
                       epochs=cfg.epochs, es_patience=cfg.es_patience,
                       plateau_patience=cfg.plateau_patience)
@@ -235,7 +237,8 @@ def cmd_train_esrgan(args):
     mesh = make_mesh() if args.data_parallel else None
     trainer = ESRGANTrainer(gen, disc, vgg, vgg_params, g_lr=cfg.g_lr,
                             d_lr=cfg.d_lr, decay_steps=cfg.decay_steps,
-                            decay_rate=cfg.decay_rate, mesh=mesh)
+                            decay_rate=cfg.decay_rate, mesh=mesh,
+                            compute_dtype="bfloat16" if args.bf16 else "float32")
     res = trainer.fit(x_tr, y_tr, x_va, y_va, epochs=cfg.epochs,
                       batch_size=cfg.batch_size, save_dir=args.preview_dir)
     ev = trainer.evaluate(res.state, x_te, y_te, batch_size=cfg.batch_size)
@@ -267,7 +270,8 @@ def cmd_train_vgg16(args):
         VGG16Classifier(num_classes=cfg.num_classes,
                         dropout_rate=cfg.dropout_rate,
                         dense_units=cfg.dense_units),
-        learning_rate=cfg.learning_rate, mesh=mesh, trainable_predicate=pred)
+        learning_rate=cfg.learning_rate, mesh=mesh, trainable_predicate=pred,
+        compute_dtype="bfloat16" if args.bf16 else "float32")
     res = trainer.fit(x_tr, y_tr, x_va, y_va, batch_size=cfg.batch_size,
                       epochs=cfg.epochs)
     ev = trainer.evaluate(res.state, x_te, y_te, batch_size=cfg.batch_size)
@@ -491,6 +495,8 @@ def main(argv=None):
         sp.add_argument("--epochs", type=int, default=50)
         sp.add_argument("--lr", type=float, default=1e-4)
         sp.add_argument("--data-parallel", action="store_true")
+        sp.add_argument("--bf16", action="store_true",
+                        help="bfloat16 compute (f32 master params/loss)")
         if "interp_map" in extra:
             sp.add_argument("--interp-map", default=None)
         if "scale" in extra:
@@ -510,6 +516,8 @@ def main(argv=None):
     sp.add_argument("--patch-size", type=int, default=96)
     sp.add_argument("--stride", type=int, default=48)
     sp.add_argument("--data-parallel", action="store_true")
+    sp.add_argument("--bf16", action="store_true",
+                    help="bfloat16 compute (f32 master params/loss)")
     sp.set_defaults(fn=cmd_train_vgg16)
 
     sp = sub.add_parser("pipeline")

@@ -67,10 +67,12 @@ class SRCNNModel:
         self._trained = False
 
     def setup_model(self, input_shape=(24, 24, 3), learning_rate=1e-4,
-                    from_pretrained=False, pretrained_path=None):
+                    from_pretrained=False, pretrained_path=None,
+                    compute_dtype="float32"):
         self.trainer = SupervisedSRTrainer(self.module,
                                            learning_rate=learning_rate,
-                                           mesh=self.mesh)
+                                           mesh=self.mesh,
+                                           compute_dtype=compute_dtype)
         sample = jnp.zeros((1,) + tuple(input_shape), jnp.float32)
         self.state = self.trainer.init_state(sample,
                                              jax.random.PRNGKey(RANDOM_SEED))
@@ -156,7 +158,7 @@ class EDSR:
     def setup_model(self, scale_factor=2, channels=3, num_res_blocks=16,
                     num_filters=64, res_scaling=0.1, learning_rate=1e-4,
                     loss="mean_squared_error", from_pretrained=False,
-                    pretrained_path=None):
+                    pretrained_path=None, compute_dtype="float32"):
         if from_pretrained:
             arch = _saved_arch(pretrained_path)
             if arch:  # the checkpoint knows its own architecture
@@ -177,7 +179,8 @@ class EDSR:
         self.trainer = SupervisedSRTrainer(self.module,
                                            learning_rate=learning_rate,
                                            clipnorm=1.0, mesh=self.mesh,
-                                           loss="mse")
+                                           loss="mse",
+                                           compute_dtype=compute_dtype)
         sample = jnp.zeros((1, 24, 24, channels), jnp.float32)
         self.state = self.trainer.init_state(sample,
                                              jax.random.PRNGKey(RANDOM_SEED))
@@ -271,7 +274,7 @@ class ESRGAN:
                     output_shape=(48, 48, 3), from_trained=False,
                     generator_pretrained_path=None,
                     discriminator_pretrained_path=None,
-                    vgg19_weights_path=None):
+                    vgg19_weights_path=None, compute_dtype="float32"):
         if from_trained:
             arch = _saved_arch(generator_pretrained_path)
             if arch:
@@ -297,7 +300,8 @@ class ESRGAN:
                                                "vgg19")
         self.trainer = ESRGANTrainer(self.generator, self.discriminator,
                                      self.vgg_model, vgg_params,
-                                     mesh=self.mesh)
+                                     mesh=self.mesh,
+                                     compute_dtype=compute_dtype)
         self.state = self.trainer.init_state(input_shape, output_shape,
                                              jax.random.PRNGKey(RANDOM_SEED))
         if from_trained:
@@ -424,7 +428,7 @@ class FineTunedVGG16:
                     dropout_rate=0.2, l2_reg=0.0, learning_rate=1e-3,
                     loss="sparse_categorical_crossentropy",
                     from_pretrained=False, pretrained_path=None,
-                    imagenet_weights_path=None):
+                    imagenet_weights_path=None, compute_dtype="float32"):
         if from_pretrained:
             arch = _saved_arch(pretrained_path)
             if arch:
@@ -457,7 +461,8 @@ class FineTunedVGG16:
                                          learning_rate=learning_rate,
                                          mesh=self.mesh,
                                          trainable_predicate=pred,
-                                         l2_reg=l2_reg)
+                                         l2_reg=l2_reg,
+                                         compute_dtype=compute_dtype)
         sample = jnp.zeros((1,) + self.input_shape, jnp.float32)
         self.state = self.trainer.init_state(sample,
                                              jax.random.PRNGKey(RANDOM_SEED))

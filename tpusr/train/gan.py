@@ -72,13 +72,21 @@ class ESRGANTrainer:
     def __init__(self, generator, discriminator, vgg_features, vgg_params,
                  g_lr=1e-4, d_lr=1e-5, decay_steps=10000, decay_rate=0.5,
                  adv_weight=1.0, perc_weight=1.0, pixel_weight=100.0,
-                 spec_weight=1.0, mesh=None, remat: bool = False):
+                 spec_weight=1.0, mesh=None, remat: bool = False,
+                 compute_dtype="float32"):
         self.generator = generator
         self.discriminator = discriminator
         self.vgg_features = vgg_features
         self.vgg_params = vgg_params
         self.mesh = mesh
         self.remat = remat  # jax.checkpoint the G forward in the G-loss
+        # Mixed precision: bfloat16 runs the FLOP-heavy forwards (generator
+        # and the frozen VGG19 perceptual extractor) on the MXU's fast path;
+        # master params, optimizer state, every loss term, and the
+        # discriminator (with its spectral-norm power iteration, which is
+        # numerically delicate and a negligible share of step FLOPs) stay
+        # float32. The reference trains pure float32 — parity default.
+        self.compute_dtype = jnp.dtype(compute_dtype)
         self.weights = (adv_weight, perc_weight, pixel_weight, spec_weight)
         self.g_sched = optax.exponential_decay(g_lr, decay_steps, decay_rate,
                                                staircase=True)
@@ -105,19 +113,31 @@ class ESRGANTrainer:
             state = replicate(self.mesh, state)
         return state
 
+    def _cast_in(self, tree):
+        """Cast floating leaves to the compute dtype (no-op for float32)."""
+        if self.compute_dtype == jnp.float32:
+            return tree
+        cdt = self.compute_dtype
+        return jax.tree.map(
+            lambda p: p.astype(cdt)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p, tree)
+
     def _perceptual(self, hr_real, hr_fake):
         """VGG19 feature MSE on denormalized inputs (ESRGAN_model.py:401-431)."""
         def feats(x):
             x255 = (x + 1.0) * 127.5
-            return self.vgg_features.apply({"params": self.vgg_params},
-                                           preprocess_caffe(x255))
+            return self.vgg_features.apply(
+                {"params": self._cast_in(self.vgg_params)},
+                self._cast_in(preprocess_caffe(x255))).astype(jnp.float32)
         fr = feats(hr_real)
         ff = feats(hr_fake)
         return jnp.mean((fr - ff) ** 2)
 
     def g_loss_components(self, g_params, d_params, d_spectral, lr, hr):
         """All four generator loss terms (shared by train/val/eval paths)."""
-        g_fwd = lambda p, z: self.generator.apply({"params": p}, z)
+        g_fwd = lambda p, z: self.generator.apply(
+            {"params": self._cast_in(p)},
+            self._cast_in(z)).astype(jnp.float32)
         if self.remat:
             g_fwd = jax.checkpoint(g_fwd)
         fake = g_fwd(g_params, lr)
@@ -139,7 +159,9 @@ class ESRGANTrainer:
         def train_step(state: GANState, lr, hr):
             # ---- discriminator update (one power iteration refreshes u) ----
             def d_loss_fn(d_params):
-                fake = gen.apply({"params": state.g_params}, lr)
+                fake = gen.apply(
+                    {"params": self._cast_in(state.g_params)},
+                    self._cast_in(lr)).astype(jnp.float32)
                 d_real, mut = disc.apply(
                     {"params": d_params, "spectral": state.d_spectral}, hr, True,
                     mutable=["spectral"])
@@ -197,9 +219,11 @@ class ESRGANTrainer:
     # ------------------------------------------------------------------ fit
     def fit(self, x_train, y_train, x_val=None, y_val=None, epochs=10,
             batch_size=16, steps_per_epoch=None, normalize=True, save_dir=None,
-            seed=42, verbose=True, state=None) -> GANFitResult:
+            seed=42, verbose=True, state=None, prefetch: int = 2) -> GANFitResult:
         """Train on [0,1] arrays (normalized to [-1,1] like ESRGAN_model.py:596-598).
         Saves a 5x5 SR preview grid per epoch when save_dir is given."""
+        from tpusr.data.prefetch import prefetch_iterator
+
         rng = np.random.default_rng(seed)
         n = x_train.shape[0]
         if steps_per_epoch is None:
@@ -234,13 +258,18 @@ class ESRGANTrainer:
             tt.begin_epoch()
             mt.begin_epoch()
             agg = {"g_loss": [], "d_loss": [], "psnr": [], "ssim": []}
-            for _ in range(steps_per_epoch):
-                sel = next_batch_idx()
-                xb, yb = x_train[sel], y_train[sel]
-                if normalize:
-                    xb, yb = xb * 2.0 - 1.0, yb * 2.0 - 1.0
-                if self.mesh is not None:
-                    xb, yb = shard_batch(self.mesh, xb, yb)
+
+            def epoch_batches():
+                for _ in range(steps_per_epoch):
+                    sel = next_batch_idx()
+                    xb, yb = x_train[sel], y_train[sel]
+                    if normalize:
+                        xb, yb = xb * 2.0 - 1.0, yb * 2.0 - 1.0
+                    if self.mesh is not None:
+                        xb, yb = shard_batch(self.mesh, xb, yb)
+                    yield xb, yb
+
+            for xb, yb in prefetch_iterator(epoch_batches(), prefetch):
                 state, m = self.train_step(state, xb, yb)
                 for k in agg:
                     agg[k].append(m[k])

@@ -56,14 +56,32 @@ class SupervisedSRTrainer:
     """MSE regression trainer with PSNR/SSIM metrics (SRCNN/EDSR semantics)."""
 
     def __init__(self, model, learning_rate=1e-4, clipnorm=None, mesh=None,
-                 loss: str = "mse", remat: bool = False):
+                 loss: str = "mse", remat: bool = False,
+                 compute_dtype: str | jnp.dtype = "float32"):
         self.model = model
         self.base_lr = learning_rate
         self.clipnorm = clipnorm
         self.mesh = mesh
         self.loss_name = loss
         self.remat = remat  # jax.checkpoint the forward: trade FLOPs for memory
+        # Mixed precision, the TPU way: master params, optimizer state, loss,
+        # and metrics stay float32; only the network forward (and therefore
+        # the backward matmuls/convs) runs in `compute_dtype`. bfloat16 shares
+        # float32's exponent range, so no loss scaling is needed (unlike fp16).
+        # The reference trains pure float32 (no mixed-precision policy is set
+        # anywhere in SRCNN_model.py / EDSR_model.py / VGG16_model.py), which
+        # remains the parity default.
+        self.compute_dtype = jnp.dtype(compute_dtype)
         self._build_steps()
+
+    def _cast_in(self, tree):
+        """Cast floating leaves to the compute dtype (no-op for float32)."""
+        if self.compute_dtype == jnp.float32:
+            return tree
+        cdt = self.compute_dtype
+        return jax.tree.map(
+            lambda p: p.astype(cdt)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p, tree)
 
     # ---- functional pieces -------------------------------------------------
     def init_state(self, sample_x, rng=None) -> TrainState:
@@ -93,7 +111,9 @@ class SupervisedSRTrainer:
         clipnorm = self.clipnorm
         loss_fn_inner = self._loss
 
-        fwd = lambda params, x: model.apply({"params": params}, x)
+        cast_in = self._cast_in
+        fwd = lambda params, x: model.apply(
+            {"params": cast_in(params)}, cast_in(x)).astype(jnp.float32)
         if self.remat:
             fwd = jax.checkpoint(fwd)
         loss_name = self.loss_name
@@ -128,7 +148,7 @@ class SupervisedSRTrainer:
             return state.replace(params=params, opt_state=opt_state), metrics
 
         def eval_step_w(state: TrainState, x, y, w):
-            pred = model.apply({"params": state.params}, x)
+            pred = fwd(state.params, x)
             return {
                 "loss": wmean(per_example_loss(pred, y), w),
                 "psnr": wmean(psnr_fn(y, pred), w),
@@ -182,8 +202,10 @@ class SupervisedSRTrainer:
     def fit(self, x_train, y_train, x_val, y_val, batch_size=16, epochs=50,
             es_patience=3, plateau_patience=2, plateau_factor=0.5, min_lr=1e-7,
             seed=42, verbose=True, state: TrainState | None = None,
-            metrics_logger=None) -> FitResult:
+            metrics_logger=None, prefetch: int = 2) -> FitResult:
         # continue from loaded/previous weights when given (Keras fit semantics)
+        from tpusr.data.prefetch import prefetch_iterator
+
         state = state if state is not None else self.init_state(x_train[:1])
         rng = np.random.default_rng(seed)
         early = EarlyStopping(patience=es_patience)
@@ -198,7 +220,8 @@ class SupervisedSRTrainer:
             mt.begin_epoch()
             agg = {"loss": [], "psnr": [], "ssim": []}
             ns = []
-            for xb, yb, wb in self._batches(x_train, y_train, batch_size, rng):
+            for xb, yb, wb in prefetch_iterator(
+                    self._batches(x_train, y_train, batch_size, rng), prefetch):
                 state, m = self._train_step_w(state, xb, yb, wb)
                 for k in agg:
                     agg[k].append(m[k])
@@ -264,16 +287,19 @@ class ClassifierTrainer(SupervisedSRTrainer):
 
     def __init__(self, model, learning_rate=1e-3, mesh=None,
                  trainable_predicate: Callable[[tuple], bool] | None = None,
-                 dropout_seed: int = 0, l2_reg: float = 0.0):
+                 dropout_seed: int = 0, l2_reg: float = 0.0,
+                 compute_dtype: str | jnp.dtype = "float32"):
         self.trainable_predicate = trainable_predicate
         self.dropout_seed = dropout_seed
         self.l2_reg = float(l2_reg)
-        super().__init__(model, learning_rate=learning_rate, mesh=mesh)
+        super().__init__(model, learning_rate=learning_rate, mesh=mesh,
+                         compute_dtype=compute_dtype)
 
     def _build_steps(self):
         from tpusr.data.augment import random_augment_batch
 
         model = self.model
+        cast_in = self._cast_in
         adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
         pred_fn = self.trainable_predicate
         base_rng = jax.random.PRNGKey(self.dropout_seed)
@@ -312,8 +338,12 @@ class ClassifierTrainer(SupervisedSRTrainer):
                 xin = random_augment_batch(jax.random.fold_in(aug_rng, step), x)
 
             def loss_fn(params):
-                probs = model.apply({"params": params}, xin, True,
-                                    rngs={"dropout": jax.random.fold_in(base_rng, step)})
+                # augmentation warps run float32 above; only the network
+                # forward (conv trunk + head) runs in the compute dtype
+                probs = model.apply(
+                    {"params": cast_in(params)}, cast_in(xin), True,
+                    rngs={"dropout": jax.random.fold_in(base_rng, step)},
+                ).astype(jnp.float32)
                 logp = jnp.log(jnp.clip(probs, 1e-7, 1.0))
                 ce = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
                 loss = wmean(ce, w)
@@ -334,7 +364,8 @@ class ClassifierTrainer(SupervisedSRTrainer):
                     {"loss": loss, "accuracy": acc, "n": jnp.sum(w)})
 
         def eval_step_w(state: TrainState, x, y, w):
-            probs = model.apply({"params": state.params}, x)
+            probs = model.apply({"params": cast_in(state.params)},
+                                cast_in(x)).astype(jnp.float32)
             logp = jnp.log(jnp.clip(probs, 1e-7, 1.0))
             ce = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
             loss = wmean(ce, w)
@@ -354,7 +385,10 @@ class ClassifierTrainer(SupervisedSRTrainer):
     def fit(self, x_train, y_train, x_val, y_val, batch_size=32, epochs=50,
             es_patience=3, plateau_patience=2, plateau_factor=0.5, min_lr=1e-7,
             seed=42, verbose=True, augment=False,
-            state: TrainState | None = None, metrics_logger=None) -> FitResult:
+            state: TrainState | None = None, metrics_logger=None,
+            prefetch: int = 2) -> FitResult:
+        from tpusr.data.prefetch import prefetch_iterator
+
         state = state if state is not None else self.init_state(x_train[:1])
         rng = np.random.default_rng(seed)
         early = EarlyStopping(patience=es_patience)
@@ -368,7 +402,8 @@ class ClassifierTrainer(SupervisedSRTrainer):
             mt.begin_epoch()
             agg = {"loss": [], "accuracy": []}
             ns = []
-            for xb, yb, wb in self._batches(x_train, y_train, batch_size, rng):
+            for xb, yb, wb in prefetch_iterator(
+                    self._batches(x_train, y_train, batch_size, rng), prefetch):
                 state, m = self._train_step_w(state, xb, yb, wb,
                                               jnp.asarray(step, jnp.uint32),
                                               augment)
