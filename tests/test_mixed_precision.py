@@ -71,6 +71,20 @@ def test_bf16_classifier_step_with_l2_and_augment():
     assert np.isfinite(float(ev["loss"]))
 
 
+def test_facade_compute_dtype_wiring():
+    """setup_model(compute_dtype=...) reaches the trainer on every facade."""
+    from tpusr.models.api import SRCNNModel, EDSR as EDSRFacade
+
+    m = SRCNNModel()
+    m.setup_model(compute_dtype="bfloat16")
+    assert m.trainer.compute_dtype == jnp.bfloat16
+
+    e = EDSRFacade()
+    e.setup_model(scale_factor=2, num_res_blocks=1, num_filters=8,
+                  compute_dtype="bfloat16")
+    assert e.trainer.compute_dtype == jnp.bfloat16
+
+
 def test_bf16_gan_step_close_to_f32():
     rng = np.random.default_rng(2)
     lr_ = jnp.asarray(rng.random((4, 8, 8, 3), np.float32)) * 2 - 1
