@@ -11,6 +11,7 @@ import time
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 
 def _device_memory_info(device=None):
@@ -90,7 +91,15 @@ class EpochMemoryTracker:
 
 
 class EarlyStopping:
-    """monitor='val_loss', restore_best_weights semantics of keras EarlyStopping."""
+    """monitor='val_loss', restore_best_weights semantics of keras EarlyStopping.
+
+    The best-weight snapshot is a DEVICE-side copy (``jnp.copy`` per leaf),
+    taken only on improvement: a host transfer here would cost a full
+    params-size device->host copy per improving epoch inside the training
+    loop, and storing by reference is unsafe because the jit'd train step
+    donates its state (the referenced buffers would be invalidated next
+    epoch). ``jnp.copy`` preserves each leaf's sharding, so restore works
+    unchanged under a mesh."""
 
     def __init__(self, patience: int = 3, min_delta: float = 0.0):
         self.patience = patience
@@ -101,10 +110,10 @@ class EarlyStopping:
         self.stopped_epoch = None
 
     def update(self, value: float, state) -> bool:
-        """Returns True if training should stop. Stores best state by reference."""
+        """Returns True if training should stop."""
         if value < self.best - self.min_delta:
             self.best = value
-            self.best_state = state
+            self.best_state = jax.tree.map(jnp.copy, state)
             self.wait = 0
             return False
         self.wait += 1

@@ -258,11 +258,11 @@ class SupervisedSRTrainer:
             new_lr = plateau.update(val_m["loss"], float(state.lr))
             if new_lr != float(state.lr):
                 state = state.replace(lr=jnp.asarray(new_lr, jnp.float32))
-            if early.update(val_m["loss"], jax.device_get(state.params)):
+            if early.update(val_m["loss"], state.params):
                 break
 
         if early.best_state is not None:  # restore_best_weights
-            state = state.replace(params=jax.device_put(early.best_state))
+            state = state.replace(params=early.best_state)
         return FitResult(history, tt, mt, state)
 
     def evaluate(self, state: TrainState, x_test, y_test, batch_size=16):
@@ -439,10 +439,10 @@ class ClassifierTrainer(SupervisedSRTrainer):
             new_lr = plateau.update(val_m["loss"], float(state.lr))
             if new_lr != float(state.lr):
                 state = state.replace(lr=jnp.asarray(new_lr, jnp.float32))
-            if early.update(val_m["loss"], jax.device_get(state.params)):
+            if early.update(val_m["loss"], state.params):
                 break
         if early.best_state is not None:
-            state = state.replace(params=jax.device_put(early.best_state))
+            state = state.replace(params=early.best_state)
         return FitResult(history, tt, mt, state)
 
     def evaluate(self, state: TrainState, x_test, y_test, batch_size=32):
