@@ -115,6 +115,25 @@ def test_trailing_batch_mesh_matches_single_device():
         np.testing.assert_allclose(h1[k], h8[k], atol=1e-5, err_msg=k)
 
 
+def test_best_weight_restore_keeps_mesh_sharding():
+    """EarlyStopping's snapshot is a device-side jnp.copy: after the
+    best-weight restore, a mesh-trained state's params must still carry
+    their replicated NamedSharding (a host round-trip used to return them
+    unsharded) so follow-up sharded steps don't re-place them."""
+    rng = np.random.default_rng(3)
+    y = rng.random((16, 12, 12, 3), dtype=np.float32)
+    x = np.roll(y, 1, axis=1)
+    mesh = make_mesh(8)
+    t = SupervisedSRTrainer(SRCNN(f1=8, f2=4), learning_rate=1e-3, mesh=mesh)
+    res = t.fit(x, y, x[:8], y[:8], batch_size=8, epochs=2, verbose=False)
+    leaf = jax.tree.leaves(res.state.params)[0]
+    assert getattr(leaf.sharding, "mesh", None) is not None, leaf.sharding
+    assert set(leaf.sharding.mesh.axis_names) == set(mesh.axis_names)
+    # and the restored params still run a sharded eval step
+    ev = t.evaluate(res.state, x[:8], y[:8], batch_size=8)
+    assert np.isfinite(ev["loss"])
+
+
 def test_trailing_batch_trains_on_it():
     """The trailing rows must actually contribute: a 1-sample trailer with a
     huge-error target changes the first-epoch loss."""
