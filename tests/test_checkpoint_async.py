@@ -1,0 +1,63 @@
+"""Async checkpointing: device-side snapshot + background write, periodic
+resume points from fit (reference has no mid-training resume at all;
+SRCNN_model.py:249-259 saves only at the end)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpusr.models import SRCNN
+from tpusr.train import (SupervisedSRTrainer, save_checkpoint_async,
+                         restore_checkpoint, load_metadata)
+
+
+def test_async_save_restore_roundtrip(tmp_path):
+    tree = {"a": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones((4,), jnp.int32)}
+    h = save_checkpoint_async(str(tmp_path), "ck", tree, metadata={"k": 1})
+    path = h.wait(60)
+    assert h.done() and path.endswith("ck")
+    got = restore_checkpoint(str(tmp_path), "ck", tree)
+    np.testing.assert_array_equal(np.asarray(got["a"]), np.asarray(tree["a"]))
+    np.testing.assert_array_equal(np.asarray(got["b"]), np.asarray(tree["b"]))
+    assert load_metadata(str(tmp_path), "ck") == {"k": 1}
+
+
+def test_async_save_snapshot_is_isolated(tmp_path):
+    """Mutating (donating) the source buffers after the call must not
+    corrupt the checkpoint — the save works from a device-side copy."""
+    x = jnp.ones((256, 256))
+    h = save_checkpoint_async(str(tmp_path), "iso", {"x": x})
+    # clobber the source right away (same effect as the train step's donation)
+    x = jax.jit(lambda a: a * 0.0, donate_argnums=0)(x)
+    h.wait(60)
+    got = restore_checkpoint(str(tmp_path), "iso", {"x": x})
+    assert float(np.asarray(got["x"]).sum()) == 256 * 256
+
+
+def test_async_save_error_surfaces_at_wait(tmp_path):
+    blocker = tmp_path / "not_a_dir"
+    blocker.write_text("file, not a directory")
+    h = save_checkpoint_async(str(blocker / "sub"), "ck", {"x": jnp.ones(3)})
+    with pytest.raises(Exception):
+        h.wait(60)
+
+
+def test_fit_periodic_checkpoints(tmp_path):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((10, 8, 8, 3), np.float32))
+    y = jnp.asarray(rng.random((10, 8, 8, 3), np.float32))
+    tr = SupervisedSRTrainer(SRCNN(f1=4, f2=2), learning_rate=1e-3)
+    res = tr.fit(x[:8], y[:8], x[8:], y[8:], batch_size=4, epochs=3,
+                 verbose=False, checkpoint_dir=str(tmp_path),
+                 checkpoint_every=2)
+    assert (tmp_path / "epoch_0002").exists()
+    assert not (tmp_path / "epoch_0003").exists()  # every=2
+    meta = load_metadata(str(tmp_path), "epoch_0002")
+    assert meta["epoch"] == 2 and np.isfinite(meta["val_loss"])
+    # the periodic file is a true resume point: restore into a fresh state
+    template = tr.init_state(x[:1])
+    restored = restore_checkpoint(str(tmp_path), "epoch_0002", template)
+    ev = tr.eval_step(
+        template.replace(params=restored.params), x[8:], y[8:])
+    assert np.isfinite(float(ev["loss"]))

@@ -219,12 +219,17 @@ class ESRGANTrainer:
     # ------------------------------------------------------------------ fit
     def fit(self, x_train, y_train, x_val=None, y_val=None, epochs=10,
             batch_size=16, steps_per_epoch=None, normalize=True, save_dir=None,
-            seed=42, verbose=True, state=None, prefetch: int = 2) -> GANFitResult:
+            seed=42, verbose=True, state=None, prefetch: int = 2,
+            checkpoint_dir: str | None = None,
+            checkpoint_every: int = 0) -> GANFitResult:
         """Train on [0,1] arrays (normalized to [-1,1] like ESRGAN_model.py:596-598).
-        Saves a 5x5 SR preview grid per epoch when save_dir is given."""
+        Saves a 5x5 SR preview grid per epoch when save_dir is given, and an
+        async full-GANState resume point every ``checkpoint_every`` epochs
+        when ``checkpoint_dir`` is given."""
         from tpusr.data.prefetch import prefetch_iterator
 
         rng = np.random.default_rng(seed)
+        ckpt_handle = None
         n = x_train.shape[0]
         if steps_per_epoch is None:
             steps_per_epoch = max(1, n // batch_size)
@@ -291,6 +296,13 @@ class ESRGANTrainer:
 
             if save_dir is not None:
                 self._save_sr_grid(state, preview, save_dir, epoch + 1, normalize)
+            if (checkpoint_dir is not None and checkpoint_every > 0
+                    and (epoch + 1) % checkpoint_every == 0):
+                from tpusr.train.checkpoint import save_checkpoint_async
+                ckpt_handle = save_checkpoint_async(
+                    checkpoint_dir, f"epoch_{epoch + 1:04d}", state,
+                    metadata={"epoch": epoch + 1,
+                              "g_loss": train_m["g_loss"]})
 
             tt.end_epoch()
             mt.end_epoch()
@@ -308,6 +320,8 @@ class ESRGANTrainer:
                     msg += f" val_psnr={val_m['val_psnr']:.2f}"
                 print(msg)
 
+        if ckpt_handle is not None:
+            ckpt_handle.wait()
         return GANFitResult(epoch_losses, tt, mt, state)
 
     def evaluate(self, state: GANState, x_test, y_test, batch_size=16,

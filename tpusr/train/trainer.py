@@ -202,11 +202,14 @@ class SupervisedSRTrainer:
     def fit(self, x_train, y_train, x_val, y_val, batch_size=16, epochs=50,
             es_patience=3, plateau_patience=2, plateau_factor=0.5, min_lr=1e-7,
             seed=42, verbose=True, state: TrainState | None = None,
-            metrics_logger=None, prefetch: int = 2) -> FitResult:
+            metrics_logger=None, prefetch: int = 2,
+            checkpoint_dir: str | None = None,
+            checkpoint_every: int = 0) -> FitResult:
         # continue from loaded/previous weights when given (Keras fit semantics)
         from tpusr.data.prefetch import prefetch_iterator
 
         state = state if state is not None else self.init_state(x_train[:1])
+        ckpt_handle = None  # most recent async periodic save
         rng = np.random.default_rng(seed)
         early = EarlyStopping(patience=es_patience)
         plateau = ReduceLROnPlateau(plateau_factor, plateau_patience, min_lr)
@@ -255,12 +258,23 @@ class SupervisedSRTrainer:
                       f"psnr={train_m['psnr']:.2f} val_loss={val_m['loss']:.5f} "
                       f"val_psnr={val_m['psnr']:.2f} lr={float(state.lr):.2e}")
 
+            if (checkpoint_dir is not None and checkpoint_every > 0
+                    and (epoch + 1) % checkpoint_every == 0):
+                # periodic resume point (full TrainState incl. optimizer);
+                # device->host transfer + write overlap the next epoch
+                from tpusr.train.checkpoint import save_checkpoint_async
+                ckpt_handle = save_checkpoint_async(
+                    checkpoint_dir, f"epoch_{epoch + 1:04d}", state,
+                    metadata={"epoch": epoch + 1,
+                              "val_loss": val_m["loss"]})
             new_lr = plateau.update(val_m["loss"], float(state.lr))
             if new_lr != float(state.lr):
                 state = state.replace(lr=jnp.asarray(new_lr, jnp.float32))
             if early.update(val_m["loss"], state.params):
                 break
 
+        if ckpt_handle is not None:
+            ckpt_handle.wait()
         if early.best_state is not None:  # restore_best_weights
             state = state.replace(params=early.best_state)
         return FitResult(history, tt, mt, state)
@@ -386,10 +400,12 @@ class ClassifierTrainer(SupervisedSRTrainer):
             es_patience=3, plateau_patience=2, plateau_factor=0.5, min_lr=1e-7,
             seed=42, verbose=True, augment=False,
             state: TrainState | None = None, metrics_logger=None,
-            prefetch: int = 2) -> FitResult:
+            prefetch: int = 2, checkpoint_dir: str | None = None,
+            checkpoint_every: int = 0) -> FitResult:
         from tpusr.data.prefetch import prefetch_iterator
 
         state = state if state is not None else self.init_state(x_train[:1])
+        ckpt_handle = None
         rng = np.random.default_rng(seed)
         early = EarlyStopping(patience=es_patience)
         plateau = ReduceLROnPlateau(plateau_factor, plateau_patience, min_lr)
@@ -436,11 +452,20 @@ class ClassifierTrainer(SupervisedSRTrainer):
             if verbose:
                 print(f"epoch {epoch + 1}/{epochs} loss={train_m['loss']:.4f} "
                       f"acc={train_m['accuracy']:.4f} val_acc={val_m['accuracy']:.4f}")
+            if (checkpoint_dir is not None and checkpoint_every > 0
+                    and (epoch + 1) % checkpoint_every == 0):
+                from tpusr.train.checkpoint import save_checkpoint_async
+                ckpt_handle = save_checkpoint_async(
+                    checkpoint_dir, f"epoch_{epoch + 1:04d}", state,
+                    metadata={"epoch": epoch + 1,
+                              "val_loss": val_m["loss"]})
             new_lr = plateau.update(val_m["loss"], float(state.lr))
             if new_lr != float(state.lr):
                 state = state.replace(lr=jnp.asarray(new_lr, jnp.float32))
             if early.update(val_m["loss"], state.params):
                 break
+        if ckpt_handle is not None:
+            ckpt_handle.wait()
         if early.best_state is not None:
             state = state.replace(params=early.best_state)
         return FitResult(history, tt, mt, state)
