@@ -61,3 +61,23 @@ def test_fit_periodic_checkpoints(tmp_path):
     ev = tr.eval_step(
         template.replace(params=restored.params), x[8:], y[8:])
     assert np.isfinite(float(ev["loss"]))
+
+
+def test_cli_maybe_resume_restores_full_state(tmp_path):
+    """--resume plumbing: a checkpoint written by the CLI's _save_run format
+    restores params AND optimizer state into a fresh trainer."""
+    from argparse import Namespace
+    from tpusr.train import save_checkpoint
+    from tpusr.cli.__main__ import _maybe_resume
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((4, 8, 8, 3), np.float32))
+    tr = SupervisedSRTrainer(SRCNN(f1=4, f2=2), learning_rate=1e-3)
+    st = tr.init_state(x[:1])
+    st, _ = tr.train_step(st, x, x)  # non-trivial Adam moments
+    path = save_checkpoint(str(tmp_path), "SRCNN_x", st)
+
+    got = _maybe_resume(Namespace(resume=path), tr, (x[:1],))
+    for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert _maybe_resume(Namespace(resume=None), tr, (x[:1],)) is None

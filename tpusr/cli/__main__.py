@@ -67,6 +67,22 @@ def _save_run(out_dir, name, state, history, eval_metrics, tt, mt):
     return path
 
 
+def _maybe_resume(args, trainer, init_state_args):
+    """--resume <checkpoint-path>: restore a full TrainState/GANState (params
+    AND optimizer state — true mid-training resume, which the reference's
+    end-of-run .h5 saves cannot do) and hand it to fit via state=."""
+    path = getattr(args, "resume", None)
+    if not path:
+        return None
+    from tpusr.train import restore_checkpoint
+
+    template = trainer.init_state(*init_state_args)
+    state = restore_checkpoint(os.path.dirname(os.path.abspath(path)),
+                               os.path.basename(path), template)
+    print(f"resumed from {path}")
+    return state
+
+
 def cmd_preprocess(args):
     from tpusr.data.video import (create_hr_lr_images_from_video,
                                   create_hr_lr_prediction_images_from_video)
@@ -173,7 +189,8 @@ def cmd_train_srcnn(args):
         compute_dtype="bfloat16" if args.bf16 else "float32")
     res = trainer.fit(x_tr, y_tr, x_va, y_va, batch_size=cfg.batch_size,
                       epochs=cfg.epochs, es_patience=cfg.es_patience,
-                      plateau_patience=cfg.plateau_patience)
+                      plateau_patience=cfg.plateau_patience,
+                      state=_maybe_resume(args, trainer, (x_tr[:1],)))
     ev = trainer.evaluate(res.state, x_te, y_te, batch_size=cfg.batch_size)
     print(f"Loss: {ev['loss']:.4f}, PSNR: {ev['psnr']:.2f} dB, SSIM: {ev['ssim']:.4f}")
     meta_eval = {**ev, "hr_h": hr_hw[0], "hr_w": hr_hw[1]}
@@ -201,7 +218,8 @@ def cmd_train_edsr(args):
         mesh=mesh, compute_dtype="bfloat16" if args.bf16 else "float32")
     res = trainer.fit(x_tr, y_tr, x_va, y_va, batch_size=cfg.batch_size,
                       epochs=cfg.epochs, es_patience=cfg.es_patience,
-                      plateau_patience=cfg.plateau_patience)
+                      plateau_patience=cfg.plateau_patience,
+                      state=_maybe_resume(args, trainer, (x_tr[:1],)))
     ev = trainer.evaluate(res.state, x_te, y_te, batch_size=cfg.batch_size)
     print(f"Loss: {ev['loss']:.4f}, PSNR: {ev['psnr']:.2f} dB, SSIM: {ev['ssim']:.4f}")
     _save_run(args.out, f"EDSR_x{cfg.scale_factor}", res.state, res.history, ev,
@@ -240,7 +258,10 @@ def cmd_train_esrgan(args):
                             decay_rate=cfg.decay_rate, mesh=mesh,
                             compute_dtype="bfloat16" if args.bf16 else "float32")
     res = trainer.fit(x_tr, y_tr, x_va, y_va, epochs=cfg.epochs,
-                      batch_size=cfg.batch_size, save_dir=args.preview_dir)
+                      batch_size=cfg.batch_size, save_dir=args.preview_dir,
+                      state=_maybe_resume(
+                          args, trainer,
+                          (x_tr.shape[1:], y_tr.shape[1:])))
     ev = trainer.evaluate(res.state, x_te, y_te, batch_size=cfg.batch_size)
     print(f"PSNR: {ev['avg_psnr']:.2f}, SSIM: {ev['avg_ssim']:.4f}, "
           f"G-loss: {ev['avg_g_loss']:.2f}")
@@ -273,7 +294,8 @@ def cmd_train_vgg16(args):
         learning_rate=cfg.learning_rate, mesh=mesh, trainable_predicate=pred,
         compute_dtype="bfloat16" if args.bf16 else "float32")
     res = trainer.fit(x_tr, y_tr, x_va, y_va, batch_size=cfg.batch_size,
-                      epochs=cfg.epochs)
+                      epochs=cfg.epochs,
+                      state=_maybe_resume(args, trainer, (x_tr[:1],)))
     ev = trainer.evaluate(res.state, x_te, y_te, batch_size=cfg.batch_size)
     print(f"Loss: {ev['loss']:.4f}, Accuracy: {ev['accuracy']:.4f}")
     _save_run(args.out, "VGG16", res.state, res.history, ev,
@@ -497,6 +519,9 @@ def main(argv=None):
         sp.add_argument("--data-parallel", action="store_true")
         sp.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute (f32 master params/loss)")
+        sp.add_argument("--resume", default=None,
+                        help="checkpoint path: resume training incl. "
+                             "optimizer state")
         if "interp_map" in extra:
             sp.add_argument("--interp-map", default=None)
         if "scale" in extra:
@@ -518,6 +543,9 @@ def main(argv=None):
     sp.add_argument("--data-parallel", action="store_true")
     sp.add_argument("--bf16", action="store_true",
                     help="bfloat16 compute (f32 master params/loss)")
+    sp.add_argument("--resume", default=None,
+                    help="checkpoint path: resume training incl. "
+                         "optimizer state")
     sp.set_defaults(fn=cmd_train_vgg16)
 
     sp = sub.add_parser("pipeline")
