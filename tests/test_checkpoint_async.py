@@ -81,3 +81,25 @@ def test_cli_maybe_resume_restores_full_state(tmp_path):
     for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(got)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert _maybe_resume(Namespace(resume=None), tr, (x[:1],)) is None
+
+
+def test_cli_maybe_resume_replicates_on_mesh(tmp_path):
+    """--resume with --data-parallel: the restored state comes back
+    replicated over the trainer's mesh, not as host arrays."""
+    from argparse import Namespace
+    from tpusr.dist import make_mesh
+    from tpusr.train import save_checkpoint
+    from tpusr.cli.__main__ import _maybe_resume
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.random((8, 8, 8, 3), np.float32))
+    plain = SupervisedSRTrainer(SRCNN(f1=4, f2=2))
+    path = save_checkpoint(str(tmp_path), "ck", plain.init_state(x[:1]))
+
+    mesh = make_mesh(8)
+    tr = SupervisedSRTrainer(SRCNN(f1=4, f2=2), mesh=mesh)
+    got = _maybe_resume(Namespace(resume=path), tr, (x[:1],))
+    leaf = jax.tree.leaves(got.params)[0]
+    assert getattr(leaf.sharding, "mesh", None) is not None
+    st, m = tr.train_step(got, x, x)
+    assert np.isfinite(float(m["loss"]))

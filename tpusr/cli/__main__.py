@@ -79,6 +79,9 @@ def _maybe_resume(args, trainer, init_state_args):
     template = trainer.init_state(*init_state_args)
     state = restore_checkpoint(os.path.dirname(os.path.abspath(path)),
                                os.path.basename(path), template)
+    if trainer.mesh is not None:  # --data-parallel: restored host arrays
+        from tpusr.dist.mesh import replicate
+        state = replicate(trainer.mesh, state)
     print(f"resumed from {path}")
     return state
 
