@@ -69,6 +69,31 @@ def test_video_extraction_train(video_path, tmp_path):
     assert int(more[0].split("_")[-1][:-4]) == idx_old + 1
 
 
+def test_cli_preprocess(video_path, tmp_path):
+    """CLI wrapper over the extractor (L6.1): both train and predictions
+    modes write pairs and sidecar maps."""
+    from tpusr.cli.__main__ import main
+
+    hr, lr = str(tmp_path / "HR"), str(tmp_path / "LR")
+    imap, cmap = str(tmp_path / "im.pkl"), str(tmp_path / "cm.pkl")
+    main(["preprocess", "--video", video_path, "--hr-dir", hr,
+          "--lr-dir", lr, "--hr-size", "48", "--interp-map", imap,
+          "--class-map", cmap, "--class-id", "1", "--seed", "3"])
+    names = sorted(os.listdir(hr))
+    assert len(names) == 3 and sorted(os.listdir(lr)) == names
+    with open(imap, "rb") as f:
+        assert set(pickle.load(f)) == set(names)
+
+    pmap = str(tmp_path / "pm.pkl")
+    main(["preprocess", "--predictions", "--video", video_path,
+          "--hr-dir", str(tmp_path / "HRp"), "--lr-dir", str(tmp_path / "LRp"),
+          "--hr-size", "32", "--class-map", pmap, "--class-id", "0",
+          "--max-frames", "2", "--seed", "5"])
+    with open(pmap, "rb") as f:
+        m = pickle.load(f)
+    assert len(m) == 2 and all(v == 0 for v in m.values())
+
+
 def test_video_extraction_predictions(video_path, tmp_path):
     hr_dir = str(tmp_path / "HRp")
     lr_dir = str(tmp_path / "LRp")
