@@ -63,6 +63,18 @@ def test_fit_periodic_checkpoints(tmp_path):
     assert np.isfinite(float(ev["loss"]))
 
 
+def test_cli_checkpoint_every_kwargs():
+    """--checkpoint-every N routes periodic resume points into --out; 0/absent
+    leaves fit untouched."""
+    from argparse import Namespace
+    from tpusr.cli.__main__ import _ckpt_kwargs
+
+    assert _ckpt_kwargs(Namespace(out="ck")) == {}
+    assert _ckpt_kwargs(Namespace(out="ck", checkpoint_every=0)) == {}
+    assert _ckpt_kwargs(Namespace(out="ck", checkpoint_every=5)) == {
+        "checkpoint_dir": "ck", "checkpoint_every": 5}
+
+
 def test_cli_maybe_resume_restores_full_state(tmp_path):
     """--resume plumbing: a checkpoint written by the CLI's _save_run format
     restores params AND optimizer state into a fresh trainer."""

@@ -86,6 +86,15 @@ def _maybe_resume(args, trainer, init_state_args):
     return state
 
 
+def _ckpt_kwargs(args):
+    """--checkpoint-every N: periodic async resume points (epoch_NNNN under
+    --out), pairing with --resume for preemption-tolerant runs."""
+    every = getattr(args, "checkpoint_every", 0)
+    if not every:
+        return {}
+    return {"checkpoint_dir": args.out, "checkpoint_every": every}
+
+
 def cmd_preprocess(args):
     from tpusr.data.video import (create_hr_lr_images_from_video,
                                   create_hr_lr_prediction_images_from_video)
@@ -193,7 +202,8 @@ def cmd_train_srcnn(args):
     res = trainer.fit(x_tr, y_tr, x_va, y_va, batch_size=cfg.batch_size,
                       epochs=cfg.epochs, es_patience=cfg.es_patience,
                       plateau_patience=cfg.plateau_patience,
-                      state=_maybe_resume(args, trainer, (x_tr[:1],)))
+                      state=_maybe_resume(args, trainer, (x_tr[:1],)),
+                      **_ckpt_kwargs(args))
     ev = trainer.evaluate(res.state, x_te, y_te, batch_size=cfg.batch_size)
     print(f"Loss: {ev['loss']:.4f}, PSNR: {ev['psnr']:.2f} dB, SSIM: {ev['ssim']:.4f}")
     meta_eval = {**ev, "hr_h": hr_hw[0], "hr_w": hr_hw[1]}
@@ -222,7 +232,8 @@ def cmd_train_edsr(args):
     res = trainer.fit(x_tr, y_tr, x_va, y_va, batch_size=cfg.batch_size,
                       epochs=cfg.epochs, es_patience=cfg.es_patience,
                       plateau_patience=cfg.plateau_patience,
-                      state=_maybe_resume(args, trainer, (x_tr[:1],)))
+                      state=_maybe_resume(args, trainer, (x_tr[:1],)),
+                      **_ckpt_kwargs(args))
     ev = trainer.evaluate(res.state, x_te, y_te, batch_size=cfg.batch_size)
     print(f"Loss: {ev['loss']:.4f}, PSNR: {ev['psnr']:.2f} dB, SSIM: {ev['ssim']:.4f}")
     _save_run(args.out, f"EDSR_x{cfg.scale_factor}", res.state, res.history, ev,
@@ -264,7 +275,8 @@ def cmd_train_esrgan(args):
                       batch_size=cfg.batch_size, save_dir=args.preview_dir,
                       state=_maybe_resume(
                           args, trainer,
-                          (x_tr.shape[1:], y_tr.shape[1:])))
+                          (x_tr.shape[1:], y_tr.shape[1:])),
+                      **_ckpt_kwargs(args))
     ev = trainer.evaluate(res.state, x_te, y_te, batch_size=cfg.batch_size)
     print(f"PSNR: {ev['avg_psnr']:.2f}, SSIM: {ev['avg_ssim']:.4f}, "
           f"G-loss: {ev['avg_g_loss']:.2f}")
@@ -298,7 +310,8 @@ def cmd_train_vgg16(args):
         compute_dtype="bfloat16" if args.bf16 else "float32")
     res = trainer.fit(x_tr, y_tr, x_va, y_va, batch_size=cfg.batch_size,
                       epochs=cfg.epochs,
-                      state=_maybe_resume(args, trainer, (x_tr[:1],)))
+                      state=_maybe_resume(args, trainer, (x_tr[:1],)),
+                      **_ckpt_kwargs(args))
     ev = trainer.evaluate(res.state, x_te, y_te, batch_size=cfg.batch_size)
     print(f"Loss: {ev['loss']:.4f}, Accuracy: {ev['accuracy']:.4f}")
     _save_run(args.out, "VGG16", res.state, res.history, ev,
@@ -525,6 +538,9 @@ def main(argv=None):
         sp.add_argument("--resume", default=None,
                         help="checkpoint path: resume training incl. "
                              "optimizer state")
+        sp.add_argument("--checkpoint-every", type=int, default=0,
+                        help="save an async epoch_NNNN resume point under "
+                             "--out every N epochs")
         if "interp_map" in extra:
             sp.add_argument("--interp-map", default=None)
         if "scale" in extra:
@@ -549,6 +565,9 @@ def main(argv=None):
     sp.add_argument("--resume", default=None,
                     help="checkpoint path: resume training incl. "
                          "optimizer state")
+    sp.add_argument("--checkpoint-every", type=int, default=0,
+                    help="save an async epoch_NNNN resume point under "
+                         "--out every N epochs")
     sp.set_defaults(fn=cmd_train_vgg16)
 
     sp = sub.add_parser("pipeline")
