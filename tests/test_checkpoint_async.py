@@ -2,6 +2,7 @@
 resume points from fit (reference has no mid-training resume at all;
 SRCNN_model.py:249-259 saves only at the end)."""
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -63,16 +64,27 @@ def test_fit_periodic_checkpoints(tmp_path):
     assert np.isfinite(float(ev["loss"]))
 
 
-def test_cli_checkpoint_every_kwargs():
+def test_cli_checkpoint_every_kwargs(tmp_path):
     """--checkpoint-every N routes periodic resume points into --out; 0/absent
-    leaves fit untouched."""
+    leaves fit untouched; --resume from a periodic point continues the
+    epoch numbering (no overwrite of newer progress with smaller labels)."""
     from argparse import Namespace
     from tpusr.cli.__main__ import _ckpt_kwargs
+    from tpusr.train import save_checkpoint
 
     assert _ckpt_kwargs(Namespace(out="ck")) == {}
     assert _ckpt_kwargs(Namespace(out="ck", checkpoint_every=0)) == {}
     assert _ckpt_kwargs(Namespace(out="ck", checkpoint_every=5)) == {
-        "checkpoint_dir": "ck", "checkpoint_every": 5}
+        "checkpoint_dir": "ck", "checkpoint_every": 5, "checkpoint_offset": 0}
+
+    path = save_checkpoint(str(tmp_path), "epoch_0010", {"x": jnp.ones(2)},
+                           metadata={"epoch": 10, "val_loss": 0.5})
+    kw = _ckpt_kwargs(Namespace(out="ck", checkpoint_every=2, resume=path))
+    assert kw["checkpoint_offset"] == 10
+    # resume from an end-of-run checkpoint (no epoch metadata): offset 0
+    path2 = save_checkpoint(str(tmp_path), "SRCNN_x", {"x": jnp.ones(2)})
+    kw2 = _ckpt_kwargs(Namespace(out="ck", checkpoint_every=2, resume=path2))
+    assert kw2["checkpoint_offset"] == 0
 
 
 def test_cli_maybe_resume_restores_full_state(tmp_path):
@@ -115,3 +127,17 @@ def test_cli_maybe_resume_replicates_on_mesh(tmp_path):
     assert getattr(leaf.sharding, "mesh", None) is not None
     st, m = tr.train_step(got, x, x)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_fit_checkpoint_offset_continues_numbering(tmp_path):
+    """A resumed run's periodic saves continue the original epoch numbering
+    instead of overwriting newer files with smaller labels."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((8, 8, 8, 3), np.float32))
+    tr = SupervisedSRTrainer(SRCNN(f1=4, f2=2), learning_rate=1e-3)
+    tr.fit(x[:6], x[:6], x[6:], x[6:], batch_size=4, epochs=2, verbose=False,
+           checkpoint_dir=str(tmp_path), checkpoint_every=1,
+           checkpoint_offset=10)
+    names = sorted(d for d in os.listdir(tmp_path) if not d.endswith(".json"))
+    assert names == ["epoch_0011", "epoch_0012"], names
+    assert load_metadata(str(tmp_path), "epoch_0012")["epoch"] == 12

@@ -60,3 +60,21 @@ def test_fit_history_identical_with_prefetch():
         hists.append(res.history)
     for k in ("loss", "val_loss", "psnr"):
         assert hists[0][k] == hists[1][k], k
+
+
+def test_abandoned_consumer_unblocks_reader():
+    """Closing the consumer mid-stream (exception/break in the training loop)
+    must let the reader thread exit instead of blocking forever on q.put."""
+    import threading
+    import time
+
+    from tpusr.data.prefetch import prefetch_iterator
+
+    before = threading.active_count()
+    it = prefetch_iterator(iter(range(100000)), depth=2)
+    assert next(it) == 0
+    it.close()  # GeneratorExit -> finally -> stop flag
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before

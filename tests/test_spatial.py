@@ -74,3 +74,23 @@ def test_super_resolve_full_image_blockwise_and_mesh_paths():
     # mesh path (H=16 divisible by 8): ring attention + H sharding
     sr_m, _ = super_resolve_full_image(gen, v, lr, mesh=make_mesh(8))
     np.testing.assert_allclose(sr_m, want, atol=5e-5, rtol=5e-5)
+
+
+def test_full_image_sr_fn_is_cached():
+    """Repeated full_image_esrgan_sr calls with the same generator config and
+    mesh reuse one jitted wrapper (jit's shape cache then avoids per-image
+    recompiles)."""
+    from tpusr.dist.spatial import _full_image_sr_fn
+
+    _full_image_sr_fn.cache_clear()
+    mesh = make_mesh(4)
+    gen = ESRGANGenerator(scale_factor=2, growth_channels=2,
+                          num_rrdb_blocks=1)
+    variables = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    img = jnp.asarray(np.random.default_rng(0)
+                      .random((1, 8, 8, 3), np.float32) * 2 - 1)
+    a = np.asarray(full_image_esrgan_sr(gen, variables, img, mesh))
+    b = np.asarray(full_image_esrgan_sr(gen, variables, img, mesh))
+    info = _full_image_sr_fn.cache_info()
+    assert info.hits >= 1 and info.misses == 1, info
+    np.testing.assert_array_equal(a, b)

@@ -72,3 +72,29 @@ def test_winograd_odd_sizes_rejected_shapewise():
     k = jnp.asarray(rng.standard_normal((3, 3, 4, 4)).astype(np.float32))
     out = winograd_conv(x, k)  # even dims fine
     assert out.shape == (1, 10, 10, 4)
+
+
+def test_requant_rounding():
+    """u/4 requant must round-half-away-from-zero on the magnitude for the
+    full exact-u range — a signed shift floors negatives one step too low."""
+    from tpusr.core.winograd import _requant_u4
+
+    t = jnp.arange(-508, 509, dtype=jnp.int32)
+    got = np.asarray(_requant_u4(t))
+    want = np.clip(np.sign(t) * ((np.abs(t) + 2) // 4), -127, 127)
+    np.testing.assert_array_equal(got, want)
+    # spot values: round(t/4) half-away
+    for tv, rv in ((-4, -1), (-1, 0), (-2, -1), (-6, -2), (2, 1), (6, 2)):
+        assert int(np.asarray(_requant_u4(jnp.int32(tv)))) == rv, (tv, rv)
+
+
+def test_winograd_odd_sizes_raise():
+    rng = np.random.default_rng(4)
+    k = jnp.asarray(rng.standard_normal((3, 3, 4, 4)).astype(np.float32))
+    x_odd = jnp.asarray(rng.standard_normal((1, 11, 10, 4)).astype(np.float32))
+    with pytest.raises(ValueError, match="even"):
+        winograd_conv(x_odd, k)
+    xq = jnp.zeros((1, 10, 11, 4), jnp.int8)
+    wq, rescale = quantize_winograd_weights(np.asarray(k), int8_u_scales(0.1))
+    with pytest.raises(ValueError, match="even"):
+        winograd_conv_int8(xq, 0.1, wq, rescale)

@@ -88,11 +88,21 @@ def _maybe_resume(args, trainer, init_state_args):
 
 def _ckpt_kwargs(args):
     """--checkpoint-every N: periodic async resume points (epoch_NNNN under
-    --out), pairing with --resume for preemption-tolerant runs."""
+    --out), pairing with --resume for preemption-tolerant runs. When resuming
+    from a periodic point, numbering continues from its recorded epoch so a
+    restarted run never overwrites newer progress with smaller labels."""
     every = getattr(args, "checkpoint_every", 0)
     if not every:
         return {}
-    return {"checkpoint_dir": args.out, "checkpoint_every": every}
+    offset = 0
+    resume = getattr(args, "resume", None)
+    if resume:
+        from tpusr.train.checkpoint import load_metadata
+        meta = load_metadata(os.path.dirname(os.path.abspath(resume)),
+                             os.path.basename(resume))
+        offset = int((meta or {}).get("epoch", 0))
+    return {"checkpoint_dir": args.out, "checkpoint_every": every,
+            "checkpoint_offset": offset}
 
 
 def cmd_preprocess(args):

@@ -108,6 +108,10 @@ def winograd_conv(x: jnp.ndarray, kernel: jnp.ndarray,
     """SAME 3x3 conv via F(2x2,3x3); x (B, H, W, K) with even H, W.
     Bit-comparable to lax.conv at f32 (tests: atol 1e-4)."""
     b, h, w, k = x.shape
+    if h % 2 or w % 2:
+        raise ValueError(
+            f"winograd F(2,3): H and W must be even (2x2 output tiles), "
+            f"got {(h, w)}")
     n = kernel.shape[-1]
     th, tw = h // 2, w // 2
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -140,21 +144,31 @@ def winograd_conv_int8(x_int8: jnp.ndarray, s_x: float, wq: jnp.ndarray,
     U_BOUND = 4 for every position — exact requant by a power-of-two shift).
     Returns f32 conv output (B, H, W, N)."""
     b, h, w, k = x_int8.shape
+    if h % 2 or w % 2:
+        raise ValueError(
+            f"winograd F(2,3): H and W must be even (2x2 output tiles), "
+            f"got {(h, w)}")
     n = wq.shape[-1]
     th, tw = h // 2, w // 2
     xp = jnp.pad(x_int8, ((0, 0), (1, 1), (1, 1), (0, 0)))
     d = _tile_slices(xp, th, tw)
     u = _input_transform(d, jnp.int32)                         # exact int32
-    # |u| <= 4*127: requant to int8 by /4 with round-half-away handled via
-    # the symmetric trick (u is int32; add sign*2 before >>2)
-    uq = [jnp.clip((t + 2 * jnp.sign(t)) >> 2, -127, 127).astype(jnp.int8)
-          for t in u]
+    uq = [_requant_u4(t) for t in u]
     U = jnp.stack([t.reshape(b * th * tw, k) for t in uq])
     Y = jax.lax.dot_general(
         U, wq, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.int32)                      # (16, M, N)
     F = Y.astype(jnp.float32) * rescale
     return _output_assemble(F, b, th, tw, n)
+
+
+def _requant_u4(t: jnp.ndarray) -> jnp.ndarray:
+    """int32 u (|u| <= 508) -> int8 u/4, round-half-away-from-zero on the
+    magnitude. A shift on the signed value would floor negatives one grid
+    step too low (e.g. -4 -> -2 instead of -1) — a systematic negative bias
+    (tests/test_winograd.py::test_requant_rounding)."""
+    return jnp.clip(jnp.sign(t) * ((jnp.abs(t) + 2) >> 2),
+                    -127, 127).astype(jnp.int8)
 
 
 def int8_u_scales(s_x: float) -> np.ndarray:

@@ -41,26 +41,45 @@ def prefetch_iterator(it: Iterable[T], depth: int = 2) -> Iterator[T]:
         return iter(it)
 
     q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()  # consumer abandoned iteration (exception/break)
+
+    def _put(item) -> bool:
+        # Bounded-timeout put so an abandoned consumer (train-step exception,
+        # KeyboardInterrupt mid-epoch) can't leave the reader blocked forever
+        # holding staged device batches — it notices `stop` and exits.
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def reader():
         try:
             for item in it:
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as exc:  # re-raised at the consumer's next()
-            q.put(_Failure(exc))
+            _put(_Failure(exc))
         else:
-            q.put(_DONE)
+            _put(_DONE)
 
     t = threading.Thread(target=reader, daemon=True)
     t.start()
 
     def consume():
-        while True:
-            item = q.get()
-            if item is _DONE:
-                return
-            if isinstance(item, _Failure):
-                raise item.exc
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _DONE:
+                    return
+                if isinstance(item, _Failure):
+                    raise item.exc
+                yield item
+        finally:
+            # runs on normal exhaustion, consumer exception, and generator
+            # close alike; lets the reader thread drain out
+            stop.set()
 
     return consume()

@@ -28,6 +28,8 @@ generator on the virtual CPU mesh (tests/test_spatial.py).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -100,6 +102,21 @@ def spatial_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(None, axis))
 
 
+@functools.lru_cache(maxsize=16)
+def _full_image_sr_fn(gen, mesh: Mesh, axis: str):
+    """Jitted H-sharded generator apply, cached per (generator config, mesh,
+    axis) — flax modules hash by field values. jax.jit's own trace cache then
+    keys on the argument shapes, so repeated calls over a dataset of
+    same-shape images compile the generator graph once, not per image."""
+    ring = make_ring_attention(mesh, axis)
+    sharded_gen = gen.clone(attention_fn=ring, attention_block_size=None)
+    in_sh = spatial_sharding(mesh, axis)
+    rep = NamedSharding(mesh, P())
+    jfn = jax.jit(sharded_gen.apply,
+                  in_shardings=(rep, in_sh), out_shardings=in_sh)
+    return jfn, in_sh
+
+
 def full_image_esrgan_sr(gen, variables, img, mesh: Mesh, axis: str = "data"):
     """Run the ESRGAN generator on a FULL image, H-sharded over the mesh.
 
@@ -119,11 +136,5 @@ def full_image_esrgan_sr(gen, variables, img, mesh: Mesh, axis: str = "data"):
             f"full_image_esrgan_sr: H={img.shape[1]} not divisible by mesh "
             f"axis '{axis}' size {n_dev} (pad the image or pick a mesh "
             f"shape that divides H)")
-    ring = make_ring_attention(mesh, axis)
-    sharded_gen = gen.clone(attention_fn=ring, attention_block_size=None)
-    in_sh = spatial_sharding(mesh, axis)
-    rep = NamedSharding(mesh, P())
-
-    fn = jax.jit(sharded_gen.apply,
-                 in_shardings=(rep, in_sh), out_shardings=in_sh)
+    fn, in_sh = _full_image_sr_fn(gen, mesh, axis)
     return fn(variables, jax.device_put(img, in_sh))

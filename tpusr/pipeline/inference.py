@@ -9,6 +9,7 @@ keeps the reference's field names (time_sec, gpu_mean_current_mb, gpu_peak_mb).
 
 from __future__ import annotations
 
+import functools
 import time
 
 import numpy as np
@@ -207,12 +208,21 @@ def super_resolve_full_image(generator, variables, lr_img, mesh=None,
     if mesh is not None and h % mesh.shape[axis] == 0:
         from tpusr.dist.spatial import full_image_esrgan_sr
 
-        def fn(xb):  # jits internally with the H-sharded layout
+        def fn(xb):  # the jitted H-sharded apply is cached in dist.spatial
             return full_image_esrgan_sr(generator, variables, xb, mesh, axis)
     else:
         block = _largest_divisor_at_most(h * w, attention_block_size)
         gen = generator.clone(attention_block_size=block, attention_fn=None)
-        fn = jax.jit(lambda xb: gen.apply(variables, xb))
+        # cached per generator config (which includes the block size), so a
+        # loop over same-shape images compiles once — variables stay an
+        # argument, not a closure, to keep the trace weight-independent
+        jfn = _full_image_apply_fn(gen)
+        fn = lambda xb: jfn(variables, xb)
 
     sr, metrics = _timed_call(fn, x)
     return np.asarray(jnp.clip((sr[0] + 1.0) / 2.0, 0.0, 1.0)), metrics
+
+
+@functools.lru_cache(maxsize=16)
+def _full_image_apply_fn(gen):
+    return jax.jit(gen.apply)

@@ -112,7 +112,7 @@ def train_classifier(hr, labels, steps=500, batch=64, seed=0, verbose=False):
     cycled = resize(resize(pool_x[:half], (PATCH // 4, PATCH // 4), "area"),
                     (PATCH, PATCH), "bicubic")
     pool_x = jnp.concatenate([jnp.clip(cycled, 0.0, 1.0), pool_x[half:]])
-    pool_y = jnp.concatenate([pool_y[:half], pool_y[half:]])
+    # pool_y unchanged: the cycle degrades pixels, not labels
     model = VGG16Classifier(num_classes=2)
     trainer = ClassifierTrainer(model, learning_rate=2e-4)
     state = trainer.init_state(jnp.zeros((1, PATCH, PATCH, 3)))

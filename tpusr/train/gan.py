@@ -221,7 +221,8 @@ class ESRGANTrainer:
             batch_size=16, steps_per_epoch=None, normalize=True, save_dir=None,
             seed=42, verbose=True, state=None, prefetch: int = 2,
             checkpoint_dir: str | None = None,
-            checkpoint_every: int = 0) -> GANFitResult:
+            checkpoint_every: int = 0,
+            checkpoint_offset: int = 0) -> GANFitResult:
         """Train on [0,1] arrays (normalized to [-1,1] like ESRGAN_model.py:596-598).
         Saves a 5x5 SR preview grid per epoch when save_dir is given, and an
         async full-GANState resume point every ``checkpoint_every`` epochs
@@ -298,11 +299,16 @@ class ESRGANTrainer:
                 self._save_sr_grid(state, preview, save_dir, epoch + 1, normalize)
             if (checkpoint_dir is not None and checkpoint_every > 0
                     and (epoch + 1) % checkpoint_every == 0):
+                # see SupervisedSRTrainer.fit: wait bounds in-flight saves
+                # to one and surfaces earlier write failures; offset keeps
+                # numbering monotonic across --resume restarts
                 from tpusr.train.checkpoint import save_checkpoint_async
+                if ckpt_handle is not None:
+                    ckpt_handle.wait()
+                ep = checkpoint_offset + epoch + 1
                 ckpt_handle = save_checkpoint_async(
-                    checkpoint_dir, f"epoch_{epoch + 1:04d}", state,
-                    metadata={"epoch": epoch + 1,
-                              "g_loss": train_m["g_loss"]})
+                    checkpoint_dir, f"epoch_{ep:04d}", state,
+                    metadata={"epoch": ep, "g_loss": train_m["g_loss"]})
 
             tt.end_epoch()
             mt.end_epoch()

@@ -204,7 +204,8 @@ class SupervisedSRTrainer:
             seed=42, verbose=True, state: TrainState | None = None,
             metrics_logger=None, prefetch: int = 2,
             checkpoint_dir: str | None = None,
-            checkpoint_every: int = 0) -> FitResult:
+            checkpoint_every: int = 0,
+            checkpoint_offset: int = 0) -> FitResult:
         # continue from loaded/previous weights when given (Keras fit semantics)
         from tpusr.data.prefetch import prefetch_iterator
 
@@ -261,12 +262,19 @@ class SupervisedSRTrainer:
             if (checkpoint_dir is not None and checkpoint_every > 0
                     and (epoch + 1) % checkpoint_every == 0):
                 # periodic resume point (full TrainState incl. optimizer);
-                # device->host transfer + write overlap the next epoch
+                # device->host transfer + write overlap the next epoch.
+                # Wait on the previous save first: one in flight at a time,
+                # and an earlier save's failure surfaces here instead of
+                # being silently dropped when the handle is replaced.
+                # checkpoint_offset keeps epoch numbering monotonic across
+                # --resume restarts (epoch_NNNN counts from the original run).
                 from tpusr.train.checkpoint import save_checkpoint_async
+                if ckpt_handle is not None:
+                    ckpt_handle.wait()
+                ep = checkpoint_offset + epoch + 1
                 ckpt_handle = save_checkpoint_async(
-                    checkpoint_dir, f"epoch_{epoch + 1:04d}", state,
-                    metadata={"epoch": epoch + 1,
-                              "val_loss": val_m["loss"]})
+                    checkpoint_dir, f"epoch_{ep:04d}", state,
+                    metadata={"epoch": ep, "val_loss": val_m["loss"]})
             new_lr = plateau.update(val_m["loss"], float(state.lr))
             if new_lr != float(state.lr):
                 state = state.replace(lr=jnp.asarray(new_lr, jnp.float32))
@@ -401,7 +409,8 @@ class ClassifierTrainer(SupervisedSRTrainer):
             seed=42, verbose=True, augment=False,
             state: TrainState | None = None, metrics_logger=None,
             prefetch: int = 2, checkpoint_dir: str | None = None,
-            checkpoint_every: int = 0) -> FitResult:
+            checkpoint_every: int = 0,
+            checkpoint_offset: int = 0) -> FitResult:
         from tpusr.data.prefetch import prefetch_iterator
 
         state = state if state is not None else self.init_state(x_train[:1])
@@ -454,11 +463,16 @@ class ClassifierTrainer(SupervisedSRTrainer):
                       f"acc={train_m['accuracy']:.4f} val_acc={val_m['accuracy']:.4f}")
             if (checkpoint_dir is not None and checkpoint_every > 0
                     and (epoch + 1) % checkpoint_every == 0):
+                # see SupervisedSRTrainer.fit: wait bounds in-flight saves
+                # to one and surfaces earlier write failures; offset keeps
+                # numbering monotonic across --resume restarts
                 from tpusr.train.checkpoint import save_checkpoint_async
+                if ckpt_handle is not None:
+                    ckpt_handle.wait()
+                ep = checkpoint_offset + epoch + 1
                 ckpt_handle = save_checkpoint_async(
-                    checkpoint_dir, f"epoch_{epoch + 1:04d}", state,
-                    metadata={"epoch": epoch + 1,
-                              "val_loss": val_m["loss"]})
+                    checkpoint_dir, f"epoch_{ep:04d}", state,
+                    metadata={"epoch": ep, "val_loss": val_m["loss"]})
             new_lr = plateau.update(val_m["loss"], float(state.lr))
             if new_lr != float(state.lr):
                 state = state.replace(lr=jnp.asarray(new_lr, jnp.float32))
