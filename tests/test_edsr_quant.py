@@ -63,7 +63,7 @@ def test_calibration_scales_cover_every_conv():
     v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
     x = jnp.asarray(np.random.default_rng(2).random((1, 8, 8, 3),
                                                     dtype=np.float32))
-    scales = calibrate_edsr(v["params"], 2, x)
+    scales = calibrate_edsr(v["params"], x)
     want = {"head", "body", "tail"} | {
         f"res{i}_conv{j}" for i in range(3) for j in (1, 2)}
     assert set(scales) == want

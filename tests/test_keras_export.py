@@ -82,6 +82,23 @@ def test_edsr_export_roundtrip_and_load_model(tmp_path, scale):
         km(x).numpy(), atol=2e-5)
 
 
+def test_edsr_export_respects_res_scaling(tmp_path):
+    """res_scaling is graph structure: a non-default value must reach the
+    exported Keras graph or every residual branch is scaled wrongly
+    (regression: export_edsr hard-coded 0.1)."""
+    m = EDSR(scale_factor=2, num_res_blocks=2, num_filters=8, res_scaling=0.3)
+    v = m.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 8, 3)))
+    params = _randomize(v["params"], 5)
+    path = str(tmp_path / "EDSR_rs_export.h5")
+    export_edsr(params, path, res_scaling=0.3)
+    km = tf.keras.models.load_model(path, safe_mode=False,
+                                    custom_objects=edsr_custom_objects())
+    x = np.random.default_rng(6).random((2, 8, 8, 3), dtype=np.float32)
+    np.testing.assert_allclose(
+        np.asarray(m.apply({"params": params}, jnp.asarray(x))),
+        km(x).numpy(), atol=2e-5)
+
+
 def test_esrgan_generator_export_roundtrip_and_load_model(tmp_path):
     m = ESRGANGenerator(scale_factor=2, growth_channels=4, num_rrdb_blocks=2,
                         base_filters=8)

@@ -252,7 +252,8 @@ class EDSR:
         os.makedirs(directory, exist_ok=True)
         path = os.path.join(directory,
                             f"EDSR_x{self.scale_factor}_{timestamp}.h5")
-        export_edsr(self.state.params, path)
+        export_edsr(self.state.params, path,
+                    res_scaling=self._arch.get("res_scaling", 0.1))
         return path
 
 

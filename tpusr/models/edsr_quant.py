@@ -39,8 +39,7 @@ def _maxabs(x) -> float:
     return float(jnp.max(jnp.abs(x)))
 
 
-def calibrate_edsr(params: dict, scale_factor: int, sample_lr,
-                   res_scaling: float = 0.1) -> dict:
+def calibrate_edsr(params: dict, sample_lr, res_scaling: float = 0.1) -> dict:
     """Run the f32 forward on a calibration batch and record every conv
     INPUT's symmetric int8 scale (max-abs / 127). Keys: 'head',
     'res{i}_conv1', 'res{i}_conv2', 'body', 'tail'."""
@@ -117,13 +116,10 @@ def quantize_edsr(params: dict, scale_factor: int, act_scales: dict) -> dict:
 
 def _qconv(layer: dict, x: jnp.ndarray, out_dtype=jnp.bfloat16) -> jnp.ndarray:
     """Quantize input -> int8 MXU conv -> fused f32 dequant (+bias)."""
-    xq = jnp.clip(jnp.round(x.astype(jnp.float32) * layer["inv_s_in"]),
-                  -127, 127).astype(jnp.int8)
     y = jax.lax.conv_general_dilated(
-        xq, layer["kernel_q"], (1, 1), "SAME", dimension_numbers=_DN,
-        preferred_element_type=jnp.int32)
-    return (y.astype(jnp.float32) * layer["rescale"]
-            + layer["bias"]).astype(out_dtype)
+        _quantize_in(layer, x), layer["kernel_q"], (1, 1), "SAME",
+        dimension_numbers=_DN, preferred_element_type=jnp.int32)
+    return _dequant(layer, y, out_dtype)
 
 
 def _qconv_int8_out(layer: dict, x8: jnp.ndarray) -> jnp.ndarray:
@@ -176,11 +172,16 @@ def make_fused_sr_apply_int8(params: dict, scale_factor: int,
     if act_scales is None:
         if sample_lr is None:
             raise ValueError("need act_scales or a sample_lr calibration batch")
-        act_scales = calibrate_edsr(params, s, sample_lr, res_scaling)
+        act_scales = calibrate_edsr(params, sample_lr, res_scaling)
     q = quantize_edsr(params, s, act_scales)
     pad = q["pad"]
     slab = 2 * pad + 1
-    cast = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    # the bf16 copy feeds only the chained-tail border slabs — cast just the
+    # tail convs, and only when the correction actually runs
+    cast = (jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16),
+        {k: params[k] for k in ("up0", "up1", "tail") if k in params})
+        if border_correction else None)
 
     def body_out(x):
         head = _qconv(q["layers"]["head"], x)

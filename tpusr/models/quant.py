@@ -97,13 +97,12 @@ def quantize_input(q: dict, images: jnp.ndarray) -> jnp.ndarray:
     return x.astype(jnp.int8)
 
 
-def quantized_vgg16_apply(q: dict, patches: jnp.ndarray) -> jnp.ndarray:
-    """int8 backbone + f32 head forward: (N, H, W, 3) [0,1] (or pre-quantized
-    int8 from ``quantize_input``) -> (N, classes) probs."""
-    if patches.dtype == jnp.int8:
-        x = patches
-    else:
-        x = quantize_input(q, patches)
+def int8_backbone(q: dict, x: jnp.ndarray, pool5: bool = True) -> jnp.ndarray:
+    """The int8 VGG16 conv trunk shared by the per-patch path and the
+    shared-trunk path (``models/vgg_trunk.py``): int8 convs with the fused
+    requant grid, stride-2 max pools after blocks 1-4, and after block 5
+    only when ``pool5`` (the shared trunk pools block 5 at stride 1 for
+    per-patch pool parity). Input/output are int8 on ``q``'s grids."""
     for block, n_convs, _f in _CFG:
         for ci in range(1, n_convs + 1):
             layer = q["layers"][f"block{block}_conv{ci}"]
@@ -115,8 +114,20 @@ def quantized_vgg16_apply(q: dict, patches: jnp.ndarray) -> jnp.ndarray:
             # clip(...,0,127) also applies ReLU; the truncating cast rounds
             # half-up thanks to the +0.5 folded into bias_over_out
             x = jnp.clip(yf, 0.0, 127.0).astype(jnp.int8)
-        x = jax.lax.reduce_window(x, jnp.int8(-128), jax.lax.max,
-                                  (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+        if block < 5 or pool5:
+            x = jax.lax.reduce_window(x, jnp.int8(-128), jax.lax.max,
+                                      (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    return x
+
+
+def quantized_vgg16_apply(q: dict, patches: jnp.ndarray) -> jnp.ndarray:
+    """int8 backbone + f32 head forward: (N, H, W, 3) [0,1] (or pre-quantized
+    int8 from ``quantize_input``) -> (N, classes) probs."""
+    if patches.dtype == jnp.int8:
+        x = patches
+    else:
+        x = quantize_input(q, patches)
+    x = int8_backbone(q, x, pool5=True)
     feats = x.astype(jnp.float32) * q["final_scale"]
     pooled = jnp.mean(feats, axis=(1, 2))
     h = jnp.maximum(pooled @ q["head"]["fc1"]["kernel"].astype(jnp.float32)

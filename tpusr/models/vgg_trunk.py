@@ -39,9 +39,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from tpusr.core.pad import pad_amounts
+from tpusr.core.pad import pad_amounts, reflect_pad
 from tpusr.core.patches import patch_grid_size
-from tpusr.models.quant import _CFG, quantize_input
+from tpusr.models.quant import _CFG, int8_backbone, quantize_input
 
 _DN = ("NHWC", "HWIO", "NHWC")
 
@@ -96,20 +96,11 @@ def shared_trunk_probs_int8(q: dict, images: jnp.ndarray, patch: int = 96,
     if images.dtype != jnp.int8:
         images = quantize_input(q, images)
     n, h, w, _ = images.shape
-    pad_h, pad_w, n_h, n_w = trunk_geometry(h, w, patch, stride)
-    x = jnp.pad(images, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
-                mode="reflect")
-    for block, n_convs, _f in _CFG:
-        for ci in range(1, n_convs + 1):
-            layer = q["layers"][f"block{block}_conv{ci}"]
-            y = jax.lax.conv_general_dilated(
-                x, layer["kernel_q"], (1, 1), "SAME", dimension_numbers=_DN,
-                preferred_element_type=jnp.int32)
-            yf = y.astype(jnp.float32) * layer["rescale"] + layer["bias_over_out"]
-            x = jnp.clip(yf, 0.0, 127.0).astype(jnp.int8)
-        if block < 5:
-            x = jax.lax.reduce_window(x, jnp.int8(-128), jax.lax.max,
-                                      (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    _, _, n_h, n_w = trunk_geometry(h, w, patch, stride)
+    x = reflect_pad(images, patch, stride)
+    # same conv/requant loop as the per-patch path; block 5 pools at
+    # stride 1 below for per-patch pool parity
+    x = int8_backbone(q, x, pool5=False)
     pooled_s1 = jax.lax.reduce_window(x, jnp.int8(-128), jax.lax.max,
                                       (1, 2, 2, 1), (1, 1, 1, 1), "VALID")
     feats_s1 = pooled_s1.astype(jnp.float32) * q["final_scale"]
@@ -123,9 +114,8 @@ def shared_trunk_probs_f32(params: dict, images: jnp.ndarray, patch: int = 96,
     params tree (parity/gate variant of ``shared_trunk_probs_int8``)."""
     images = images.astype(dtype)
     n, h, w, _ = images.shape
-    pad_h, pad_w, n_h, n_w = trunk_geometry(h, w, patch, stride)
-    x = jnp.pad(images, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
-                mode="reflect")
+    _, _, n_h, n_w = trunk_geometry(h, w, patch, stride)
+    x = reflect_pad(images, patch, stride)
     bb = params["vgg16"]
     for block, n_convs, _f in _CFG:
         for ci in range(1, n_convs + 1):

@@ -276,15 +276,18 @@ def export_srcnn(params: dict, path: str) -> None:
     km.save(path)
 
 
-def export_edsr(params: dict, path: str) -> None:
+def export_edsr(params: dict, path: str, res_scaling: float = 0.1) -> None:
     """flax EDSR params -> reference-format .h5 (scale inferred from the
-    upsample kernels)."""
+    upsample kernels). ``res_scaling`` is graph structure, not a weight —
+    it must match the trained model's value (EDSR_model.py:47) or the
+    exported graph scales every residual branch wrongly."""
     n_res = len([k for k in params if k.startswith("res")])
     nf = int(params["head"]["kernel"].shape[3])
     r2 = int(params["up0"]["kernel"].shape[3]) // nf
     scale = 4 if "up1" in params else int(round(r2 ** 0.5))
     km = build_keras_edsr(scale=scale, num_res_blocks=n_res, num_filters=nf,
-                          channels=int(params["head"]["kernel"].shape[2]))
+                          channels=int(params["head"]["kernel"].shape[2]),
+                          res_scaling=res_scaling)
     names = (["head"]
              + [f"res{i}_conv{j}" for i in range(n_res) for j in (1, 2)]
              + ["body"] + [f"up{i}" for i in range(2 if scale == 4 else 1)]
