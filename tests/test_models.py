@@ -110,3 +110,41 @@ def test_esrgan_x4_generator_shapes():
     v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
     y = m.apply(v, jnp.zeros((1, 8, 8, 3)))
     assert y.shape == (1, 32, 32, 3)  # two x2 pixel-shuffle stages
+
+
+def test_spectral_norm_gradient_stops_through_uv():
+    """Keras/TFA SpectralNormalization parity: gradients flow through W only
+    — u and v are stop_gradient'ed, so d(sigma)/dW == outer(v, u) exactly
+    (regression: differentiating through the power iteration deviates D
+    gradients from the reference every train step)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tpusr.models.layers import SNDense
+
+    m = SNDense(features=3)
+    x = jnp.asarray(np.random.default_rng(0).random((2, 5), np.float32))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    params, spectral = variables["params"], variables["spectral"]
+    u = np.asarray(spectral["u"])  # (1, out)
+    w = np.asarray(params["kernel"])  # (in, out)
+
+    # reference formulation: v, u from one power iteration, then constants
+    v = u @ w.T
+    v = v / np.linalg.norm(v)
+    u1 = v @ w
+    u1 = u1 / np.linalg.norm(u1)
+    sigma = float(v @ w @ u1.T)
+
+    def out_sum(kernel):
+        # apply returns x @ (W/sigma) + b; grad of sum(apply(eye)) w.r.t. W
+        # isolates d(W/sigma)/dW
+        return m.apply({"params": {**params, "kernel": kernel},
+                        "spectral": spectral}, jnp.eye(5)).sum()
+
+    g = jax.grad(out_sum)(jnp.asarray(w))
+    # analytic: d/dW [sum(eye @ W/sigma)] with sigma = v W u^T, u/v constant:
+    # = ones_out/sigma (through W) - (sum(W)/sigma^2) * outer(v, u1)
+    ones = np.ones((5, 3), np.float32)
+    expected = ones / sigma - (w / sigma).sum() / sigma * (v.T @ u1)
+    np.testing.assert_allclose(np.asarray(g), expected, rtol=1e-4, atol=1e-5)

@@ -114,6 +114,36 @@ def test_gan_trainer_single_step_and_eval():
     assert int(jax.device_get(res.state.step)) == 2 * 2
 
 
+@pytest.mark.slow  # three eval-graph compiles (~50 s)
+def test_gan_eval_smaller_than_batch_and_tail():
+    """Validation/test sets smaller than batch_size (or with a partial tail)
+    must produce finite, tail-inclusive metrics — the reference's tf.data
+    .batch keeps partial batches (regression: np.mean([]) -> nan)."""
+    rng = np.random.default_rng(5)
+    y = rng.random((6, 16, 16, 3), dtype=np.float32)
+    from tpusr.core.resize import resize
+    x = np.asarray(resize(y, (8, 8), "area"))
+
+    gen = ESRGANGenerator(scale_factor=2, growth_channels=4, num_rrdb_blocks=1)
+    disc = ESRGANDiscriminator()
+    vgg = _TinyFeatures()
+    vgg_params = vgg.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 16, 16, 3)))["params"]
+    trainer = ESRGANTrainer(gen, disc, vgg, vgg_params)
+    st = trainer.init_state(x.shape[1:], y.shape[1:])
+
+    # test set (3) < batch (16): single small batch, finite results
+    ev = trainer.evaluate(st, x[:3], y[:3], batch_size=16)
+    assert all(np.isfinite(v) for v in ev.values()), ev
+    # partial tail (6 = 4 + 2) is included: weighted mean over all 6, equal
+    # to the one-batch-of-6 result
+    ev_tail = trainer.evaluate(st, x, y, batch_size=4)
+    ev_all = trainer.evaluate(st, x, y, batch_size=6)
+    for k in ev_all:
+        assert abs(ev_tail[k] - ev_all[k]) < 5e-3 * max(1.0, abs(ev_all[k])), (
+            k, ev_tail[k], ev_all[k])
+
+
 def test_gan_epoch_sampling_is_permutation():
     """One epoch at steps_per_epoch = n//batch touches every example exactly
     once (reference shuffles without replacement, ESRGAN_model.py:578-598)."""

@@ -56,8 +56,7 @@ def make_ring_attention(mesh: Mesh, axis: str = "data"):
         b, nl, _ = gq.shape
         dv = hv.shape[-1]
 
-        def step(carry, _):
-            m, l, acc, f_blk, h_blk = carry
+        def fold(m, l, acc, f_blk, h_blk):
             s = jnp.einsum("bic,bjc->bij", gq, f_blk, precision=_HI)
             m_new = jnp.maximum(m, jnp.max(s, axis=-1))
             scale = jnp.exp(m - m_new)
@@ -65,11 +64,17 @@ def make_ring_attention(mesh: Mesh, axis: str = "data"):
             l_new = l * scale + jnp.sum(p, axis=-1)
             acc_new = acc * scale[..., None] + jnp.einsum(
                 "bij,bjc->bic", p, h_blk, precision=_HI)
-            # Neighbor exchange over ICI; after n_dev hops every query block
-            # has seen every key/value block and the blocks are home again.
+            return m_new, l_new, acc_new
+
+        def step(carry, _):
+            m, l, acc, f_blk, h_blk = carry
+            m, l, acc = fold(m, l, acc, f_blk, h_blk)
+            # Neighbor exchange over ICI; n_dev blocks need only n_dev-1
+            # hops — the last fold runs outside the scan, permute-free
+            # (XLA cannot DCE a trailing collective inside a scan body).
             f_blk = jax.lax.ppermute(f_blk, axis, perm)
             h_blk = jax.lax.ppermute(h_blk, axis, perm)
-            return (m_new, l_new, acc_new, f_blk, h_blk), None
+            return (m, l, acc, f_blk, h_blk), None
 
         # Derive the init from the sharded operands so shard_map's
         # varying-axis typing matches the updated carry (a plain jnp.zeros
@@ -78,7 +83,10 @@ def make_ring_attention(mesh: Mesh, axis: str = "data"):
         init = (row - jnp.inf, row,
                 jnp.zeros_like(gq, shape=(b, nl, dv)) + row[..., None],
                 fk, hv)
-        (m, l, acc, _, _), _ = jax.lax.scan(step, init, None, length=n_dev)
+        carry = init
+        if n_dev > 1:
+            carry, _ = jax.lax.scan(step, init, None, length=n_dev - 1)
+        m, l, acc = fold(*carry)
         return acc / l[..., None]
 
     token_spec = P(None, axis, None)
@@ -121,10 +129,9 @@ def full_image_esrgan_sr(gen, variables, img, mesh: Mesh, axis: str = "data"):
     """Run the ESRGAN generator on a FULL image, H-sharded over the mesh.
 
     ``gen`` is an ``ESRGANGenerator`` (its config is reused; attention is
-    replaced by the ring). ``img`` is (B, H, W, C) in [-1, 1]; H and the
-    token counts at both attention sites must divide the mesh axis size
-    (H multiple of ``n_dev`` suffices when W is fixed). Returns the
-    (B, H*scale, W*scale, C) SR image, H-sharded.
+    replaced by the ring). ``img`` is (B, H, W, C) in [-1, 1]; H (and hence
+    the token counts at both attention sites) must be divisible by the mesh
+    axis size. Returns the (B, H*scale, W*scale, C) SR image, H-sharded.
 
     Convs see the true neighboring rows across shard boundaries (XLA halo
     exchange), so the result equals the unsharded ``gen.apply`` exactly —

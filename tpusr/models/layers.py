@@ -51,8 +51,12 @@ def _spectral_sigma(module: nn.Module, w_mat: jnp.ndarray, update_stats: bool):
         module.make_rng("params") if module.is_initializing() else jax.random.PRNGKey(0),
         (1, w_mat.shape[-1]),
     )
-    v_val = _l2_normalize(u.value @ w_mat.T)
-    u_new = _l2_normalize(v_val @ w_mat)
+    # Keras/TFA parity: gradients flow through w_mat only — the power-
+    # iteration vectors are stop_gradient'ed before sigma (keras
+    # SpectralNormalization.normalized_weights does the same), otherwise
+    # D-gradients deviate from the reference every step.
+    v_val = jax.lax.stop_gradient(_l2_normalize(u.value @ w_mat.T))
+    u_new = jax.lax.stop_gradient(_l2_normalize(v_val @ w_mat))
     sigma = (v_val @ w_mat @ u_new.T)[0, 0]
     if update_stats and not module.is_initializing():
         u.value = u_new

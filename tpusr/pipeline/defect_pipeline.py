@@ -106,6 +106,10 @@ class FusedSRClassifyPipeline:
         of `clf_apply` / `trunk_probs` must be given."""
         if (clf_apply is None) == (trunk_probs is None):
             raise ValueError("pass exactly one of clf_apply / trunk_probs")
+        if lr_hw is None or scale is None:
+            raise ValueError(
+                "lr_hw and scale are required (the pipeline compiles for one "
+                "static LR geometry), e.g. lr_hw=(128, 128), scale=4")
         self.lr_hw = lr_hw
         self.scale = scale
         self.patch = patch
@@ -136,7 +140,15 @@ class FusedSRClassifyPipeline:
             n = srq.shape[0]
             if trunk_probs is not None:
                 probs = trunk_probs(srq)
-            elif classify_chunks > 1 and n % classify_chunks == 0:
+            elif classify_chunks > 1:
+                if n % classify_chunks:
+                    # falling back to one unchunked block would materialize
+                    # the full patch tensor — the exact OOM chunking exists
+                    # to prevent; fail loudly instead
+                    raise ValueError(
+                        f"batch size {n} is not divisible by "
+                        f"classify_chunks={classify_chunks}; pick a batch "
+                        f"that divides evenly (or classify_chunks=1)")
                 blocks = srq.reshape((classify_chunks, n // classify_chunks)
                                      + srq.shape[1:])
                 probs = jax.lax.map(classify_block, blocks)
@@ -149,8 +161,16 @@ class FusedSRClassifyPipeline:
         self._run = jax.jit(run)
 
     def __call__(self, lr_batch):
-        """Returns (sr_batch, classes, confidences) — all device arrays."""
-        return self._run(jnp.asarray(lr_batch))
+        """Returns (sr_batch, classes, confidences) — all device arrays.
+        With a ``mesh``, the batch is sharded over its 'data' axis before
+        the jitted graph runs (re-putting an already-sharded input is free),
+        so the pipeline actually executes data-parallel instead of silently
+        running on one device."""
+        x = jnp.asarray(lr_batch)
+        if self.mesh is not None and x.shape[0] % self.mesh.shape["data"] == 0:
+            from tpusr.dist.mesh import shard_batch
+            x = shard_batch(self.mesh, x)
+        return self._run(x)
 
     def throughput(self, lr_batch, iters: int = 10) -> float:
         """Steady-state images/sec for the fused graph."""
@@ -295,7 +315,9 @@ def run_defect_detection_comparison(sr_methods: dict, clf_apply, x_lr, x_hr, y,
         confs = np.concatenate(confs)[:n]
         psnrs = np.concatenate(psnrs)[:n]
         ssims = np.concatenate(ssims)[:n]
-        num_classes = int(max(2, y.max() + 1))
+        # size from labels AND predictions: a class the classifier emits but
+        # the label subset lacks must not index out of the matrix
+        num_classes = int(max(2, y.max() + 1, preds.max() + 1))
         cm = np.zeros((num_classes, num_classes), np.int64)
         for t, p in zip(y, preds):
             cm[int(t), int(p)] += 1

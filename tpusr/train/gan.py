@@ -216,6 +216,21 @@ class ESRGANTrainer:
         self.train_step = jax.jit(train_step, donate_argnums=(0,))
         self.val_step = jax.jit(val_step)
 
+    def _val_batches(self, x, y, batch_size, normalize):
+        """Yield (n_real, xb, yb) including the partial tail (the reference's
+        tf.data ``.batch`` keeps it, ESRGAN_model.py:782-856); each distinct
+        tail shape compiles once and is reused every epoch. A tail that
+        doesn't divide the mesh runs replicated (correct, just unsharded)."""
+        n = len(x)
+        for s in range(0, n, batch_size):
+            xb, yb = x[s:s + batch_size], y[s:s + batch_size]
+            if normalize:
+                xb, yb = xb * 2.0 - 1.0, yb * 2.0 - 1.0
+            nb = len(xb)
+            if self.mesh is not None and nb % self.mesh.shape["data"] == 0:
+                xb, yb = shard_batch(self.mesh, xb, yb)
+            yield nb, xb, yb
+
     # ------------------------------------------------------------------ fit
     def fit(self, x_train, y_train, x_val=None, y_val=None, epochs=10,
             batch_size=16, steps_per_epoch=None, normalize=True, save_dir=None,
@@ -235,7 +250,10 @@ class ESRGANTrainer:
         if steps_per_epoch is None:
             steps_per_epoch = max(1, n // batch_size)
         if state is None:
-            state = self.init_state(x_train.shape[1:], y_train.shape[1:])
+            # seed also selects the init weights, not just the batch stream
+            # (two seeded runs must be independent trials)
+            state = self.init_state(x_train.shape[1:], y_train.shape[1:],
+                                    rng=jax.random.PRNGKey(seed))
 
         # Shuffle WITHOUT replacement, matching the reference's
         # tf.data shuffle->batch->repeat stream (ESRGAN_model.py:578-598):
@@ -284,15 +302,16 @@ class ESRGANTrainer:
             val_m = {}
             if x_val is not None and len(x_val):
                 vagg = {"g_loss": [], "psnr": [], "ssim": []}
-                for s in range(0, len(x_val) - batch_size + 1, batch_size):
-                    xb = x_val[s:s + batch_size] * 2.0 - 1.0 if normalize else x_val[s:s + batch_size]
-                    yb = y_val[s:s + batch_size] * 2.0 - 1.0 if normalize else y_val[s:s + batch_size]
-                    if self.mesh is not None:
-                        xb, yb = shard_batch(self.mesh, xb, yb)
+                sizes = []
+                for nb, xb, yb in self._val_batches(x_val, y_val, batch_size,
+                                                    normalize):
                     m = self.val_step(state, xb, yb)
                     for k in vagg:
                         vagg[k].append(m[k])
-                val_m = {f"val_{k}": float(np.mean(jax.device_get(v)))
+                    sizes.append(nb)
+                val_m = {f"val_{k}": float(np.average(
+                             np.asarray(jax.device_get(v), np.float64),
+                             weights=sizes))
                          for k, v in vagg.items()}
 
             if save_dir is not None:
@@ -334,17 +353,16 @@ class ESRGANTrainer:
                  normalize=True):
         """avg PSNR/SSIM/G-loss over the test set (ESRGAN_model.py:782-856)."""
         agg = {"g_loss": [], "psnr": [], "ssim": []}
-        for s in range(0, len(x_test) - batch_size + 1, batch_size):
-            xb = x_test[s:s + batch_size]
-            yb = y_test[s:s + batch_size]
-            if normalize:
-                xb, yb = xb * 2.0 - 1.0, yb * 2.0 - 1.0
-            if self.mesh is not None:
-                xb, yb = shard_batch(self.mesh, xb, yb)
+        sizes = []
+        for nb, xb, yb in self._val_batches(x_test, y_test, batch_size,
+                                            normalize):
             m = self.val_step(state, xb, yb)
             for k in agg:
                 agg[k].append(m[k])
-        out = {k: float(np.mean(jax.device_get(v))) for k, v in agg.items()}
+            sizes.append(nb)
+        out = {k: float(np.average(np.asarray(jax.device_get(v), np.float64),
+                                   weights=sizes))
+               for k, v in agg.items()}
         return {"avg_psnr": out["psnr"], "avg_ssim": out["ssim"],
                 "avg_g_loss": out["g_loss"]}
 
@@ -355,8 +373,12 @@ class ESRGANTrainer:
 
         os.makedirs(save_dir, exist_ok=True)
         lr_in = preview01 * 2.0 - 1.0 if normalize else preview01
-        sr = np.asarray(self.generator.apply({"params": jax.device_get(state.g_params)},
-                                             jnp.asarray(lr_in)))
+        # params stay on device (a full-tree device_get per epoch costs
+        # minutes over the dev tunnel); the jitted forward compiles once
+        if not hasattr(self, "_preview_fn"):
+            self._preview_fn = jax.jit(
+                lambda p, x: self.generator.apply({"params": p}, x))
+        sr = np.asarray(self._preview_fn(state.g_params, jnp.asarray(lr_in)))
         sr = (sr + 1.0) / 2.0
         n = min(25, sr.shape[0])
         rows = cols = 5
