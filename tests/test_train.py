@@ -48,19 +48,24 @@ def test_supervised_trainer_reduces_loss(sr_data):
 
 
 def test_early_stopping_and_plateau_semantics():
+    # keras parity: stop AT the patience-th consecutive non-improving epoch
     es = EarlyStopping(patience=2)
-    vals = [1.0, 0.9, 0.95, 0.96, 0.97]  # improves once then stalls
+    vals = [1.0, 0.9, 0.95, 0.96]  # improves once then stalls
     stops = [es.update(v, state=v) for v in vals]
-    assert stops == [False, False, False, False, True]
+    assert stops == [False, False, False, True]
     assert es.best_state == 0.9
 
-    pl = ReduceLROnPlateau(factor=0.5, patience=1, min_lr=1e-4)
+    pl = ReduceLROnPlateau(factor=0.5, patience=2, min_lr=1e-4)
     lr = 1e-2
     lr = pl.update(1.0, lr)   # best
     lr = pl.update(1.1, lr)   # wait 1
     assert lr == 1e-2
-    lr = pl.update(1.2, lr)   # wait 2 > patience -> halve
+    lr = pl.update(1.2, lr)   # wait 2 >= patience -> halve (keras timing)
     assert lr == 5e-3
+    # keras default min_delta=1e-4: a sub-delta "improvement" still waits
+    pl2 = ReduceLROnPlateau(factor=0.5, patience=1, min_lr=1e-4)
+    lr = pl2.update(1.0, 1e-2)
+    assert pl2.update(1.0 - 5e-5, lr) == 5e-3
 
 
 @pytest.mark.slow  # training-convergence (118s); step semantics covered by test_trainer_semantics

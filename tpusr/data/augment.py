@@ -72,17 +72,21 @@ def random_augment_batch(key, batch: jnp.ndarray, rotation_range: float = 20.0,
     """Per-image random affine + hflip over an NHWC batch (Keras defaults).
 
     Parameter distributions match ``ImageDataGenerator.get_random_transform``:
-    theta ~ U(-rot, rot) degrees; row/col shifts ~ U(-s, s)*h (resp. *w);
-    flip with p=0.5.
+    theta ~ U(-rot, rot) degrees; row/col shifts ~ U(-s, s), scaled by h
+    (resp. w) per sample only when |shift| < 1 — Keras treats sub-unit
+    draws as fractions of the dimension and larger draws as absolute
+    pixels; flip with p=0.5.
     """
     n, h, w = batch.shape[0], batch.shape[1], batch.shape[2]
     k1, k2, k3, k4 = jax.random.split(key, 4)
     theta = jax.random.uniform(k1, (n,), minval=-rotation_range,
                                maxval=rotation_range)
     tx = jax.random.uniform(k2, (n,), minval=-height_shift_range,
-                            maxval=height_shift_range) * h
+                            maxval=height_shift_range)
+    tx = jnp.where(jnp.abs(tx) < 1.0, tx * h, tx)
     ty = jax.random.uniform(k3, (n,), minval=-width_shift_range,
-                            maxval=width_shift_range) * w
+                            maxval=width_shift_range)
+    ty = jnp.where(jnp.abs(ty) < 1.0, ty * w, ty)
     out = jax.vmap(affine_warp)(batch, theta, tx, ty)
     if horizontal_flip:
         flip = jax.random.bernoulli(k4, 0.5, (n,))

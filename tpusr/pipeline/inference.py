@@ -120,28 +120,14 @@ def _cache_put(key, apply_fn, fn):
 
 
 def _cached_sr_fn(apply_fn, lr_hw, patch, stride, scale, in_map):
+    """LRU-cached ``sr_inference_fn`` — the model's range is both its input
+    and output convention (the [0,1]<->[-1,1] maps of ESRGAN_model.py:929,946
+    are symmetric), so in_map serves as both."""
     key = (id(apply_fn), lr_hw, patch, stride, scale, in_map)
     cached = _cache_get(key, apply_fn)
     if cached is None:
-        h, w = lr_hw
-        pad_h, pad_w = pad_amounts(h, w, patch, stride)
-        nh, nw = patch_grid_size(h + pad_h, w + pad_w, patch, stride)
-        lo, hi = in_map
-
-        @jax.jit
-        def fn(lr_img):
-            x = jnp.pad(lr_img, ((0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
-            patches = patchify(x, patch, stride)
-            if (lo, hi) != (0.0, 1.0):
-                model_in = patches * 2.0 - 1.0
-                preds = apply_fn(model_in)
-                preds = (preds + 1.0) / 2.0
-            else:
-                preds = apply_fn(patches)
-            sr = overlap_add(preds, (nh, nw), stride * scale,
-                             crop_hw=(h * scale, w * scale))
-            return jnp.clip(sr, 0.0, 1.0)
-
+        fn = sr_inference_fn(apply_fn, lr_hw, patch, stride, scale,
+                             in_range=in_map, out_range=in_map)
         cached = _cache_put(key, apply_fn, fn)
     return cached
 

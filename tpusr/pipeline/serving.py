@@ -54,10 +54,21 @@ class PipelineServer:
         self._q.put(None)  # wake the worker
         if self._started:
             self._worker.join(timeout=5.0)
+        # fail any requests still queued — leaving them PENDING would make
+        # every waiter block out its full timeout
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item[1].done():
+                item[1].set_exception(RuntimeError("PipelineServer stopped"))
 
     def submit(self, lr_image: np.ndarray) -> Future:
         """Submit one (h, w, 3) [0,1] LR image; resolves to
         {'sr': ndarray, 'class': int, 'confidence': float}."""
+        if self._stop.is_set():
+            raise RuntimeError("PipelineServer is stopped")
         fut: Future = Future()
         self._q.put((np.asarray(lr_image, np.float32), fut))
         return fut
@@ -99,20 +110,24 @@ class PipelineServer:
             self._run_batch(batch)
 
     def _run_batch(self, batch):
-        imgs = np.stack([b[0] for b in batch])
-        n = imgs.shape[0]
-        if n < self.batch_size:  # pad to the fixed compiled shape
-            padrows = np.repeat(imgs[-1:], self.batch_size - n, axis=0)
-            imgs = np.concatenate([imgs, padrows])
         try:
+            # batch assembly stays INSIDE the try: a mismatched-shape request
+            # must fail its batch's futures, not kill the worker thread (a
+            # dead worker would leave every later request pending forever)
+            imgs = np.stack([b[0] for b in batch])
+            n = imgs.shape[0]
+            if n < self.batch_size:  # pad to the fixed compiled shape
+                padrows = np.repeat(imgs[-1:], self.batch_size - n, axis=0)
+                imgs = np.concatenate([imgs, padrows])
             sr, classes, confs = self.pipeline(imgs)
             sr, classes, confs = jax.device_get((sr, classes, confs))
             for i, (_, fut) in enumerate(batch):
-                fut.set_result({
-                    "sr": np.asarray(sr[i]),
-                    "class": int(classes[i]),
-                    "confidence": float(confs[i]),
-                })
+                if not fut.done():  # a cancelled co-batched future must not
+                    fut.set_result({  # poison the rest of the batch
+                        "sr": np.asarray(sr[i]),
+                        "class": int(classes[i]),
+                        "confidence": float(confs[i]),
+                    })
         except Exception as e:  # propagate to all waiters
             for _, fut in batch:
                 if not fut.done():

@@ -117,27 +117,33 @@ class EarlyStopping:
             self.wait = 0
             return False
         self.wait += 1
-        return self.wait > self.patience
+        # keras parity: stop AT the patience-th consecutive non-improving
+        # epoch (keras EarlyStopping: `if self.wait >= self.patience`)
+        return self.wait >= self.patience
 
 
 class ReduceLROnPlateau:
-    """keras ReduceLROnPlateau semantics: scale LR by `factor` after `patience`
-    epochs without improvement, floored at `min_lr`."""
+    """keras ReduceLROnPlateau semantics: scale LR by `factor` AT the
+    patience-th epoch without improvement (`wait >= patience`), improvement
+    meaning `value < best - min_delta` (keras default min_delta=1e-4),
+    floored at `min_lr`."""
 
-    def __init__(self, factor: float = 0.5, patience: int = 2, min_lr: float = 1e-7):
+    def __init__(self, factor: float = 0.5, patience: int = 2,
+                 min_lr: float = 1e-7, min_delta: float = 1e-4):
         self.factor = factor
         self.patience = patience
         self.min_lr = min_lr
+        self.min_delta = min_delta
         self.best = np.inf
         self.wait = 0
 
     def update(self, value: float, current_lr: float) -> float:
-        if value < self.best:
+        if value < self.best - self.min_delta:
             self.best = value
             self.wait = 0
             return current_lr
         self.wait += 1
-        if self.wait > self.patience:
+        if self.wait >= self.patience:
             self.wait = 0
             return max(current_lr * self.factor, self.min_lr)
         return current_lr

@@ -131,11 +131,27 @@ _ESRGAN_ATTN = {"self_attention_trunk": "self_attention_trunk",
                 "self_attention_upsample_0": "self_attention_upsample_0"}
 
 
+def _count_kernels(tree) -> int:
+    """Number of {kernel, bias} conv/dense nodes in a params tree."""
+    if not isinstance(tree, dict):
+        return 0
+    return (1 if "kernel" in tree else 0) + sum(
+        _count_kernels(v) for k, v in tree.items() if k != "kernel")
+
+
 def import_esrgan_generator(params: dict, h5_path: str) -> dict:
     """ESRGAN generator: explicit layer names (ESRGAN_model.py:303-345).
     initial_conv, rrdb_{i}_dense{j}_conv{k}, trunk_conv, self-attention f/g/h/v,
-    upsample_{i}_conv, final_conv1/final_conv2."""
+    upsample_{i}_conv, final_conv1/final_conv2. Raises if any flax conv is
+    left unfilled (an .h5 with unrecognized layer names must not silently
+    keep random init — the logit-parity contract)."""
     out = _mutable(params)
+    filled = []
+
+    def _fill(o, path, k, b):
+        _set(o, path, k, b)
+        filled.append(path)
+
     for lname, ws in keras_layer_weights(h5_path):
         arrays = {_leaf(w): a for w, a in ws}
         if lname in _ESRGAN_ATTN:
@@ -147,24 +163,30 @@ def import_esrgan_generator(params: dict, h5_path: str) -> dict:
                 sub.setdefault(tag, {})[_leaf(wname)] = arr
             for tag in ("f", "g", "h", "v"):
                 if tag in sub:
-                    _set(out, (lname, tag), sub[tag]["kernel"], sub[tag]["bias"])
+                    _fill(out, (lname, tag), sub[tag]["kernel"], sub[tag]["bias"])
             continue
         if "kernel" not in arrays:
             continue
         k, b = arrays["kernel"], arrays.get("bias")
         if lname == "initial_conv":
-            _set(out, ("initial_conv",), k, b)
+            _fill(out, ("initial_conv",), k, b)
         elif lname == "trunk_conv":
-            _set(out, ("trunk_conv",), k, b)
+            _fill(out, ("trunk_conv",), k, b)
         elif lname.startswith("rrdb_"):
             # rrdb_{i}_dense{j}_conv{k}
             stem, convk = lname.rsplit("_", 1)
             block, densej = stem.rsplit("_", 1)
-            _set(out, (block, densej, convk), k, b)
+            _fill(out, (block, densej, convk), k, b)
         elif lname.startswith("upsample_") and lname.endswith("_conv"):
-            _set(out, (lname,), k, b)
+            _fill(out, (lname,), k, b)
         elif lname in ("final_conv1", "final_conv2"):
-            _set(out, (lname,), k, b)
+            _fill(out, (lname,), k, b)
+    expected = _count_kernels(params)
+    if len(filled) != expected:
+        raise ValueError(
+            f"import_esrgan_generator: matched {len(filled)} of {expected} "
+            f"conv layers in {h5_path} — unrecognized layer names would "
+            f"leave random-initialized params")
     return out
 
 
@@ -224,8 +246,13 @@ def import_vgg16_classifier(params: dict, h5_path: str) -> dict:
             layer = _layer_of(wname)
             if leaf != "kernel":
                 continue
-            bias = next(a for w2, a in ws
-                        if _layer_of(w2) == layer and _leaf(w2) == "bias")
+            bias = next((a for w2, a in ws
+                         if _layer_of(w2) == layer and _leaf(w2) == "bias"),
+                        None)
+            if bias is None:
+                raise ValueError(
+                    f"import_vgg16_classifier: layer {layer!r} in {h5_path} "
+                    f"has a kernel but no bias")
             if layer.startswith("block") and "_conv" in layer:
                 _set(out, ("vgg16", layer), arr, bias)
             elif layer == "predictions":
@@ -233,7 +260,15 @@ def import_vgg16_classifier(params: dict, h5_path: str) -> dict:
             elif arr.ndim == 2:
                 dense_seen.append((layer, arr, bias))
     # the remaining 2-D kernel is the 256-unit head (keras auto-name 'dense')
+    fc1_shape = tuple(np.asarray(out["fc1"]["kernel"]).shape)
     for _layer, k, b in dense_seen:
-        if k.shape == tuple(np.asarray(out["fc1"]["kernel"]).shape):
+        if k.shape == fc1_shape:
             _set(out, ("fc1",), k, b)
+            break
+    else:
+        raise ValueError(
+            f"import_vgg16_classifier: no dense kernel of shape {fc1_shape} "
+            f"(the 256-unit head) found in {h5_path} — candidates: "
+            f"{[(n, a.shape) for n, a, _ in dense_seen]}; a silently skipped "
+            f"head would break logit parity")
     return out

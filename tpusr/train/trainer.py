@@ -41,17 +41,6 @@ class FitResult:
     state: TrainState
 
 
-def _adam(clipnorm: float | None):
-    def tx(lr):
-        core = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
-        chain = [core]
-        if clipnorm is not None:
-            chain = [optax.clip_by_global_norm(clipnorm)] + chain
-        chain.append(optax.scale(-lr))
-        return chain
-    return tx
-
-
 class SupervisedSRTrainer:
     """MSE regression trainer with PSNR/SSIM metrics (SRCNN/EDSR semantics)."""
 
@@ -94,11 +83,6 @@ class SupervisedSRTrainer:
             state = replicate(self.mesh, state)
         return state
 
-    def _loss(self, pred, target):
-        if self.loss_name == "mse":
-            return jnp.mean((pred - target) ** 2)
-        return jnp.mean(jnp.abs(pred - target))
-
     def _build_steps(self):
         model = self.model
 
@@ -109,7 +93,6 @@ class SupervisedSRTrainer:
         self._opt_init = opt_init
         adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
         clipnorm = self.clipnorm
-        loss_fn_inner = self._loss
 
         cast_in = self._cast_in
         fwd = lambda params, x: model.apply(
@@ -207,34 +190,57 @@ class SupervisedSRTrainer:
             checkpoint_every: int = 0,
             checkpoint_offset: int = 0) -> FitResult:
         # continue from loaded/previous weights when given (Keras fit semantics)
+        state = state if state is not None else self.init_state(x_train[:1])
+
+        def fmt(epoch, train_m, val_m, st):
+            return (f"epoch {epoch + 1}/{epochs} loss={train_m['loss']:.5f} "
+                    f"psnr={train_m['psnr']:.2f} val_loss={val_m['loss']:.5f} "
+                    f"val_psnr={val_m['psnr']:.2f} lr={float(st.lr):.2e}")
+
+        return self._fit_loop(
+            x_train, y_train, x_val, y_val, batch_size, epochs, es_patience,
+            plateau_patience, plateau_factor, min_lr, seed, verbose, state,
+            metrics_logger, prefetch, checkpoint_dir, checkpoint_every,
+            checkpoint_offset, metric_keys=("loss", "psnr", "ssim"),
+            train_fn=self._train_step_w, fmt_line=fmt)
+
+    def _fit_loop(self, x_train, y_train, x_val, y_val, batch_size, epochs,
+                  es_patience, plateau_patience, plateau_factor, min_lr, seed,
+                  verbose, state, metrics_logger, prefetch, checkpoint_dir,
+                  checkpoint_every, checkpoint_offset, metric_keys, train_fn,
+                  fmt_line) -> FitResult:
+        """The Keras-parity epoch loop shared by both trainers: train batches
+        (prefetched), validation, trackers, history/logging, periodic async
+        checkpoints, ReduceLROnPlateau, EarlyStopping with best-weight
+        restore. ``train_fn(state, xb, yb, wb) -> (state, metrics)``."""
         from tpusr.data.prefetch import prefetch_iterator
 
-        state = state if state is not None else self.init_state(x_train[:1])
         ckpt_handle = None  # most recent async periodic save
         rng = np.random.default_rng(seed)
         early = EarlyStopping(patience=es_patience)
         plateau = ReduceLROnPlateau(plateau_factor, plateau_patience, min_lr)
         tt, mt = EpochTimeTracker(), EpochMemoryTracker()
         history: dict[str, list] = {k: [] for k in (
-            "loss", "psnr", "ssim", "val_loss", "val_psnr", "val_ssim", "lr",
+            *metric_keys, *(f"val_{k}" for k in metric_keys), "lr",
             "epoch_time_sec")}
 
         for epoch in range(epochs):
             tt.begin_epoch()
             mt.begin_epoch()
-            agg = {"loss": [], "psnr": [], "ssim": []}
+            agg = {k: [] for k in metric_keys}
             ns = []
             for xb, yb, wb in prefetch_iterator(
                     self._batches(x_train, y_train, batch_size, rng), prefetch):
-                state, m = self._train_step_w(state, xb, yb, wb)
+                state, m = train_fn(state, xb, yb, wb)
                 for k in agg:
                     agg[k].append(m[k])
                 ns.append(m["n"])
             train_m = {k: self._epoch_mean(v, ns) for k, v in agg.items()}
 
-            vagg = {"loss": [], "psnr": [], "ssim": []}
+            vagg = {k: [] for k in metric_keys}
             vns = []
-            for xb, yb, wb in self._batches(x_val, y_val, batch_size, rng, shuffle=False):
+            for xb, yb, wb in self._batches(x_val, y_val, batch_size, rng,
+                                            shuffle=False):
                 m = self._eval_step_w(state, xb, yb, wb)
                 for k in vagg:
                     vagg[k].append(m[k])
@@ -255,9 +261,7 @@ class SupervisedSRTrainer:
                     "lr": float(state.lr),
                     "epoch_time_sec": tt.epoch_times_sec[-1]})
             if verbose:
-                print(f"epoch {epoch + 1}/{epochs} loss={train_m['loss']:.5f} "
-                      f"psnr={train_m['psnr']:.2f} val_loss={val_m['loss']:.5f} "
-                      f"val_psnr={val_m['psnr']:.2f} lr={float(state.lr):.2e}")
+                print(fmt_line(epoch, train_m, val_m, state))
 
             if (checkpoint_dir is not None and checkpoint_every > 0
                     and (epoch + 1) % checkpoint_every == 0):
@@ -411,78 +415,27 @@ class ClassifierTrainer(SupervisedSRTrainer):
             prefetch: int = 2, checkpoint_dir: str | None = None,
             checkpoint_every: int = 0,
             checkpoint_offset: int = 0) -> FitResult:
-        from tpusr.data.prefetch import prefetch_iterator
-
         state = state if state is not None else self.init_state(x_train[:1])
-        ckpt_handle = None
-        rng = np.random.default_rng(seed)
-        early = EarlyStopping(patience=es_patience)
-        plateau = ReduceLROnPlateau(plateau_factor, plateau_patience, min_lr)
-        tt, mt = EpochTimeTracker(), EpochMemoryTracker()
-        history: dict[str, list] = {k: [] for k in (
-            "loss", "accuracy", "val_loss", "val_accuracy", "lr", "epoch_time_sec")}
-        step = 0
-        for epoch in range(epochs):
-            tt.begin_epoch()
-            mt.begin_epoch()
-            agg = {"loss": [], "accuracy": []}
-            ns = []
-            for xb, yb, wb in prefetch_iterator(
-                    self._batches(x_train, y_train, batch_size, rng), prefetch):
-                state, m = self._train_step_w(state, xb, yb, wb,
-                                              jnp.asarray(step, jnp.uint32),
-                                              augment)
-                step += 1
-                for k in agg:
-                    agg[k].append(m[k])
-                ns.append(m["n"])
-            train_m = {k: self._epoch_mean(v, ns) for k, v in agg.items()}
-            vagg = {"loss": [], "accuracy": []}
-            vns = []
-            for xb, yb, wb in self._batches(x_val, y_val, batch_size, rng, shuffle=False):
-                m = self._eval_step_w(state, xb, yb, wb)
-                for k in vagg:
-                    vagg[k].append(m[k])
-                vns.append(m["n"])
-            val_m = {k: self._epoch_mean(v, vns) for k, v in vagg.items()}
-            tt.end_epoch()
-            mt.end_epoch()
-            for k, v in train_m.items():
-                history[k].append(v)
-            for k, v in val_m.items():
-                history[f"val_{k}"].append(v)
-            history["lr"].append(float(state.lr))
-            history["epoch_time_sec"].append(tt.epoch_times_sec[-1])
-            if metrics_logger is not None:
-                metrics_logger.log_epoch(epoch, {
-                    **train_m, **{f"val_{k}": v for k, v in val_m.items()},
-                    "lr": float(state.lr),
-                    "epoch_time_sec": tt.epoch_times_sec[-1]})
-            if verbose:
-                print(f"epoch {epoch + 1}/{epochs} loss={train_m['loss']:.4f} "
-                      f"acc={train_m['accuracy']:.4f} val_acc={val_m['accuracy']:.4f}")
-            if (checkpoint_dir is not None and checkpoint_every > 0
-                    and (epoch + 1) % checkpoint_every == 0):
-                # see SupervisedSRTrainer.fit: wait bounds in-flight saves
-                # to one and surfaces earlier write failures; offset keeps
-                # numbering monotonic across --resume restarts
-                from tpusr.train.checkpoint import save_checkpoint_async
-                if ckpt_handle is not None:
-                    ckpt_handle.wait()
-                ep = checkpoint_offset + epoch + 1
-                ckpt_handle = save_checkpoint_async(
-                    checkpoint_dir, f"epoch_{ep:04d}", state,
-                    metadata={"epoch": ep, "val_loss": val_m["loss"]})
-            new_lr = plateau.update(val_m["loss"], float(state.lr))
-            if new_lr != float(state.lr):
-                state = state.replace(lr=jnp.asarray(new_lr, jnp.float32))
-            if early.update(val_m["loss"], state.params):
-                break
-        if ckpt_handle is not None:
-            ckpt_handle.wait()
-        if early.best_state is not None:
-            state = state.replace(params=early.best_state)
-        return FitResult(history, tt, mt, state)
+        step = 0  # global step feeds the dropout/augmentation PRNG streams
+
+        def train_fn(st, xb, yb, wb):
+            nonlocal step
+            st, m = self._train_step_w(st, xb, yb, wb,
+                                       jnp.asarray(step, jnp.uint32), augment)
+            step += 1
+            return st, m
+
+        def fmt(epoch, train_m, val_m, st):
+            return (f"epoch {epoch + 1}/{epochs} loss={train_m['loss']:.4f} "
+                    f"acc={train_m['accuracy']:.4f} "
+                    f"val_acc={val_m['accuracy']:.4f}")
+
+        return self._fit_loop(
+            x_train, y_train, x_val, y_val, batch_size, epochs, es_patience,
+            plateau_patience, plateau_factor, min_lr, seed, verbose, state,
+            metrics_logger, prefetch, checkpoint_dir, checkpoint_every,
+            checkpoint_offset, metric_keys=("loss", "accuracy"),
+            train_fn=train_fn, fmt_line=fmt)
 
     def evaluate(self, state: TrainState, x_test, y_test, batch_size=32):
         agg = {"loss": [], "accuracy": []}
