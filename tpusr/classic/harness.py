@@ -88,39 +88,36 @@ def _build_pair_fn(hr_hw, lr_hw):
 
     @jax.jit
     def pair_fn(hr_u8f, lr_u8f):
-        results, metrics = {}, {}
+        metrics = {}
 
         for name, fn in (("bilinear", A.interpolate_bilinear),
                          ("bicubic", A.interpolate_bicubic),
                          ("area", A.interpolate_area),
                          ("lanczos", A.interpolate_lanczos)):
             sr = jnp.clip(jnp.round(fn(lr_u8f, out_hw)), 0, 255)
-            results[name] = sr
             metrics[name] = _color_metrics(hr_u8f, sr)
 
         hr_g = _gray_cv2_u8(hr_u8f)
         lr_g = _gray_cv2_u8(lr_u8f)
 
         ibp = jnp.floor(A.back_projection(hr_g, lr_g, iterations=10))  # uint8 truncation
-        results["ibp"] = ibp
         metrics["ibp"] = _gray_metrics(hr_g, ibp, 255.0)
 
         nlm = A.non_local_means(hr_g, lr_g / 255.0)  # stays [0,1]: reference quirk
-        results["nlm"] = nlm
         dr = jnp.where(hr_g.max() != hr_g.min(), hr_g.max() - hr_g.min(), 255.0)
         metrics["nlm"] = _gray_metrics(hr_g, nlm, dr)
 
         egi = jnp.floor(A.edge_guided_interpolation(hr_g, lr_g))
-        results["egi"] = egi
         metrics["egi"] = _gray_metrics(hr_g, egi, 255.0)
 
         freq = A.frequency_extrapolation(hr_g, lr_g)
         mx = freq.max()
         freq_u8 = jnp.where(mx > 0, jnp.floor(freq / mx * 255.0), jnp.floor(freq))
-        results["freq"] = freq_u8
         metrics["freq"] = _gray_metrics(hr_g, freq_u8, 255.0)
 
-        return results, metrics
+        # metrics only: returning the 8 HR-sized SR images too would ship
+        # ~8x the image bytes out as jit outputs the caller discards
+        return metrics
 
     # Individually-jitted algorithm runs for timing (steady-state per algorithm).
     timed = {
@@ -136,10 +133,16 @@ def _build_pair_fn(hr_hw, lr_hw):
     return pair_fn, timed
 
 
-def _device_peak_mb() -> float:
+def _compiled_memory_bytes(jitted, *args) -> float:
+    """Per-algorithm device-memory footprint from XLA's memory analysis of
+    the standalone compiled executable (arguments + outputs + temporaries).
+    Order-independent and per-algorithm, unlike the device's monotonic
+    process-global ``peak_bytes_in_use`` (which, sampled mid-run, reports
+    essentially the same ever-growing number for every algorithm)."""
     try:
-        stats = jax.local_devices()[0].memory_stats() or {}
-        return float(stats.get("peak_bytes_in_use", 0)) / (1024.0 * 1024.0)
+        ma = jitted.lower(*args).compile().memory_analysis()
+        return float(ma.argument_size_in_bytes + ma.output_size_in_bytes
+                     + ma.temp_size_in_bytes)
     except Exception:
         return 0.0
 
@@ -160,8 +163,8 @@ def run_classic_comparison(hr_images, lr_images, time_repeats: int = 1, progress
         lr = np.asarray(lr)
         key = (hr.shape, lr.shape)
         if key not in fn_cache:
-            fn_cache[key] = _build_pair_fn(hr.shape[:2], lr.shape[:2])
-        pair_fn, timed = fn_cache[key]
+            fn_cache[key] = _build_pair_fn(hr.shape[:2], lr.shape[:2]) + ({},)
+        pair_fn, timed, mem_cache = fn_cache[key]
 
         hr_d = jnp.asarray(hr.astype(np.float32))
         lr_d = jnp.asarray(lr.astype(np.float32))
@@ -169,7 +172,7 @@ def run_classic_comparison(hr_images, lr_images, time_repeats: int = 1, progress
         lr_g = jnp.round(rgb_to_gray(lr_d))
 
         # -- metrics (one fused graph) --
-        _, metrics = pair_fn(hr_d, lr_d)
+        metrics = pair_fn(hr_d, lr_d)
         metrics = jax.tree.map(float, jax.device_get(metrics))
         for alg, md in metrics.items():
             for mname, key2 in (("psnr", "psnr"), ("ssim", "ssim"), ("mae", "mae"),
@@ -187,7 +190,9 @@ def run_classic_comparison(hr_images, lr_images, time_repeats: int = 1, progress
                 out = f(*args)
             out.block_until_ready()
             stats["time"][alg].append((time.perf_counter() - t0) / time_repeats)
-            stats["memory"][alg].append(_device_peak_mb() * 1024 * 1024)  # bytes, like tracemalloc
+            if alg not in mem_cache:  # per (algorithm, shape): bytes
+                mem_cache[alg] = _compiled_memory_bytes(f, *args)
+            stats["memory"][alg].append(mem_cache[alg])
 
         if progress is not None:
             progress(idx)

@@ -143,7 +143,11 @@ def cmd_classic(args):
     common = common[: int(args.fraction * len(common))]  # notebook: 70%
     if args.limit:
         common = common[: args.limit]
-    load = lambda p: cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+    def load(p):
+        img = cv2.imread(p)
+        if img is None:
+            raise ValueError(f"could not read image: {p}")
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
     hr_images = [load(hr_d[b]) for b in common]
     lr_images = [load(lr_d[b]) for b in common]
     print(f"evaluating {len(common)} HR/LR pairs over {len(CLASSIC_ALGORITHMS)} algorithms")
@@ -259,8 +263,11 @@ def cmd_train_esrgan(args):
     from tpusr.train import ESRGANTrainer
     from tpusr.dist import make_mesh
 
+    # --lr sets the generator LR; the discriminator keeps the reference's
+    # 10:1 G:D ratio (ESRGAN_model.py:176-195: 1e-4 / 1e-5)
     cfg = ESRGANConfig(batch_size=args.batch_size, epochs=args.epochs,
-                       scale_factor=args.scale)
+                       scale_factor=args.scale, g_lr=args.lr,
+                       d_lr=args.lr * 0.1)
     x, y, _ = _load_sr_patches(args, "scale", cfg.patch_size, cfg.stride,
                                cfg.scale_factor)
     x_tr, y_tr, x_va, y_va, x_te, y_te = _split(x, y)

@@ -296,6 +296,18 @@ def collect_metrics(lr_dir, hr_dir, glcm_multi_angle=False, glcm_levels=64,
             gd["lr_fft_sum"], gd["hr_fft_sum"] = lr_fft, hr_fft
             gd["grad_hr_sum"], gd["glcm_sum"] = grad, glcm_full
         else:
+            # mixed-resolution datasets: the spatial accumulators are seeded
+            # by the first pair's shape; resize later maps onto that grid
+            # (glcm/saturation/noise stats are shape-free and unaffected)
+            # instead of crashing the whole EDA on a broadcast error
+            ref_hw = gd["hr_fft_sum"].shape[::-1]  # (w, h) for cv2
+            if grad.shape != gd["grad_hr_sum"].shape:
+                lr_fft = cv2.resize(lr_fft, gd["lr_fft_sum"].shape[::-1],
+                                    interpolation=cv2.INTER_AREA)
+                hr_fft = cv2.resize(hr_fft, ref_hw,
+                                    interpolation=cv2.INTER_AREA)
+                grad = cv2.resize(grad, gd["grad_hr_sum"].shape[::-1],
+                                  interpolation=cv2.INTER_AREA)
             gd["lr_fft_sum"] += lr_fft
             gd["hr_fft_sum"] += hr_fft
             gd["grad_hr_sum"] += grad

@@ -31,16 +31,6 @@ except Exception:  # pragma: no cover - cv2 is present in this environment
 
 _IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".tiff")
 
-# interpolation-map values (strings or cv2 codes) -> tpusr resize method names
-_INTERP_NAME_MAP = {
-    "INTER_LINEAR": "bilinear",
-    "INTER_CUBIC": "bicubic",
-    "INTER_AREA": "area",
-    "INTER_LANCZOS4": "lanczos4",
-}
-_INTERP_CODE_MAP = {1: "bilinear", 2: "bicubic", 3: "area", 4: "lanczos4"}
-
-
 def add_padding(image: np.ndarray, patch_size: int, stride: int) -> np.ndarray:
     """loading_methods.py:6-26 parity (host numpy version)."""
     h, w = image.shape[:2]
@@ -85,16 +75,6 @@ def _sliding_patches(img: np.ndarray, patch: int, stride: int,
     return view.reshape(nh * nw, patch, patch, img.shape[2]).copy()
 
 
-def resolve_interp_method(value) -> str:
-    """Map an interpolation_map entry (name string or cv2 int code) to a
-    tpusr resize method, defaulting to bicubic (loading_methods.py:131-145)."""
-    if isinstance(value, str):
-        return _INTERP_NAME_MAP.get(value, "bicubic")
-    if isinstance(value, (int, np.integer)):
-        return _INTERP_CODE_MAP.get(int(value), "bicubic")
-    return "bicubic"
-
-
 def resolve_cv2_interp(value) -> int:
     """Map an interpolation_map entry to a cv2 flag for host resizing. The
     reference passes int map codes straight to cv2.resize — unrecognized ints
@@ -134,6 +114,10 @@ def load_dataset_as_patches(hr_root, lr_root, mode="srcnn", patch_size=33,
     hr_dict = {os.path.basename(p): p for p in hr_paths}
     lr_dict = {os.path.basename(p): p for p in lr_paths}
     common = sorted(set(hr_dict) & set(lr_dict))
+    if not common:
+        raise ValueError(
+            "No matching basenames found between HR and LR roots (pairs are "
+            "matched by filename, like the predictions loader).")
 
     interpolation_map = None
     if mode == "srcnn" and interpolation_map_path is not None:

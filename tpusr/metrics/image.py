@@ -87,7 +87,7 @@ def ssim(
 
     if squeeze:
         return val[0]  # unbatched (H, W, C) input -> scalar
-    return val.reshape(lead) if lead else val[0]
+    return val.reshape(lead)  # lead is non-empty whenever squeeze is False
 
 
 def ssim_skimage(
