@@ -26,16 +26,6 @@ __all__ = ["resize", "resize_weights", "METHODS"]
 
 METHODS = ("bilinear", "bicubic", "area", "lanczos4")
 
-# cv2 interpolation flag -> method name (for loaders that stored cv2 codes)
-CV2_CODE_TO_METHOD = {0: "bilinear", 1: "bilinear", 2: "bicubic", 3: "area", 4: "lanczos4"}
-# NOTE: cv2.INTER_NEAREST=0, INTER_LINEAR=1, INTER_CUBIC=2, INTER_AREA=3, INTER_LANCZOS4=4.
-CV2_NAME_TO_METHOD = {
-    "INTER_LINEAR": "bilinear",
-    "INTER_CUBIC": "bicubic",
-    "INTER_AREA": "area",
-    "INTER_LANCZOS4": "lanczos4",
-}
-
 
 def _accumulate(out_size: int, in_size: int, dst_idx, tap_idx, tap_w) -> np.ndarray:
     """Scatter taps (clamped to the image) into a dense (out, in) weight matrix."""

@@ -110,29 +110,38 @@ def _derived_value(stats: dict, metric: str) -> float:
     return stats.get(metric, np.nan)
 
 
+def auto_metric_sets(summary: dict):
+    """(maximize, minimize) metric lists auto-derived from the summary's
+    present keys — the default used by ``rank_algorithms`` when neither list
+    is given (shared with the ranking viz so its contribution heatmap shows
+    the same metrics the scores were built from)."""
+    present = set()
+    for st in summary.values():
+        present.update(st.keys())
+    maximize = [m for m in ["psnr_mean", "psnr_max", "ssim_mean", "ssim_max"]
+                if m in present]
+    minimize = [m for m in [
+        "time_mean", "time_max", "time_jitter", "time_var",
+        "memory_mean", "memory_max", "memory_var",
+        "mae_mean", "mae_max", "rmse_mean", "rmse_max",
+        "grad_mse_mean", "kl_luma_mean", "kl_color_mean",
+        "psnr_var", "ssim_var",
+    ] if m in present]
+    if {"psnr_ci_low", "psnr_ci_high"} <= present:
+        minimize.append("psnr_ci_width")
+    if {"ssim_ci_low", "ssim_ci_high"} <= present:
+        minimize.append("ssim_ci_width")
+    if "epi_mean" in present:
+        minimize.append("epi_dev")
+    if "hf_ratio_mean" in present:
+        minimize.append("hf_ratio_dev")
+    return maximize, minimize
+
+
 def rank_algorithms(summary: dict, maximize=None, minimize=None, weights=None):
     """Weighted min-max-normalized composite ranking (profiling_methods.py:334-496)."""
     if maximize is None and minimize is None:
-        present = set()
-        for st in summary.values():
-            present.update(st.keys())
-        maximize = [m for m in ["psnr_mean", "psnr_max", "ssim_mean", "ssim_max"]
-                    if m in present]
-        minimize = [m for m in [
-            "time_mean", "time_max", "time_jitter", "time_var",
-            "memory_mean", "memory_max", "memory_var",
-            "mae_mean", "mae_max", "rmse_mean", "rmse_max",
-            "grad_mse_mean", "kl_luma_mean", "kl_color_mean",
-            "psnr_var", "ssim_var",
-        ] if m in present]
-        if {"psnr_ci_low", "psnr_ci_high"} <= present:
-            minimize.append("psnr_ci_width")
-        if {"ssim_ci_low", "ssim_ci_high"} <= present:
-            minimize.append("ssim_ci_width")
-        if "epi_mean" in present:
-            minimize.append("epi_dev")
-        if "hf_ratio_mean" in present:
-            minimize.append("hf_ratio_dev")
+        maximize, minimize = auto_metric_sets(summary)
     else:
         maximize = maximize or []
         minimize = minimize or []

@@ -512,6 +512,8 @@ class FineTunedVGG16:
                                 batch_size=32):
         if self.module is None:
             raise ValueError("Model is not built yet.")
+        if not self.trained:  # same guard as evaluate(): random-init weights
+            raise RuntimeError("Model has not been trained.")
         if image is None:
             raise ValueError("image must be provided")
         img = np.asarray(image)

@@ -162,12 +162,6 @@ def train_edsr(hr, steps=300, batch=16, seed=1, scale=4, verbose=False):
 
 
 # ------------------------------------------------------------ vote paths
-def _votes_from_probs(probs):
-    from tpusr.pipeline.defect_pipeline import _vote
-    cls, conf = jax.vmap(_vote)(probs)
-    return np.asarray(cls), np.asarray(conf)   # (N,) transfers only
-
-
 def per_patch_votes(clf_probs_fn, sr_images: jnp.ndarray, chunk=8):
     """The reference protocol: reflect-pad, extract every 96/48 patch,
     classify each independently, majority-vote (VGG16_model.py:168-270).
@@ -290,18 +284,30 @@ def run_gate(n_images=128, size=512, clf_steps=500, edsr_steps=600, seed=0,
     # protocol LR inputs (area downscale like the degradation model's resize)
     lr_eval = resize(hr_eval, (lr_hw, lr_hw), "area")
 
+    # only build the int8 SR variants some requested mode consumes — a
+    # cheap harness smoke (mode_names subset) must not pay two full int8 SR
+    # passes + calibration it never reads
+    want = (lambda n: mode_names is None or n in mode_names)
+    need_int8_sr = want("int8_sr_f32_per_patch") or want(
+        "int8_sr_shared_trunk_int8")
+    need_int8_sr_nb = want("int8_sr_noborder_shared_trunk_int8")
+
     log("building SR variants...")
     f32_fn, r = make_fused_sr_apply(edsr_params, scale, dtype=jnp.float32)
-    q_fn, _ = make_fused_sr_apply_int8(edsr_params, scale,
-                                       sample_lr=lr_eval[:4])
-    q_fn_nb, _ = make_fused_sr_apply_int8(edsr_params, scale,
-                                          sample_lr=lr_eval[:4],
-                                          border_correction=False)
     sr_f32 = _apply_sr(f32_fn, r, lr_eval)
-    sr_int8 = _apply_sr(q_fn, r, lr_eval)
-    sr_int8_nb = _apply_sr(q_fn_nb, r, lr_eval)
-    psnr_sr_drift = float(jnp.mean(psnr_fn(sr_f32, sr_int8)))
-    psnr_sr_nb_drift = float(jnp.mean(psnr_fn(sr_f32, sr_int8_nb)))
+    sr_int8 = sr_int8_nb = None
+    psnr_sr_drift = psnr_sr_nb_drift = None
+    if need_int8_sr:
+        q_fn, _ = make_fused_sr_apply_int8(edsr_params, scale,
+                                           sample_lr=lr_eval[:4])
+        sr_int8 = _apply_sr(q_fn, r, lr_eval)
+        psnr_sr_drift = float(jnp.mean(psnr_fn(sr_f32, sr_int8)))
+    if need_int8_sr_nb:
+        q_fn_nb, _ = make_fused_sr_apply_int8(edsr_params, scale,
+                                              sample_lr=lr_eval[:4],
+                                              border_correction=False)
+        sr_int8_nb = _apply_sr(q_fn_nb, r, lr_eval)
+        psnr_sr_nb_drift = float(jnp.mean(psnr_fn(sr_f32, sr_int8_nb)))
 
     # classifier variants
     model = VGG16Classifier(num_classes=2)

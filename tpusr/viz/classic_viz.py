@@ -35,10 +35,10 @@ def _bar(ax, algs, values, colors_map, title, ylabel=None, fmt="{:.4g}"):
                         ha="center", va="bottom", fontsize=7)
 
 
-def _save(fig, outfile):
+def _save(fig, outfile, dpi=150):
     if outfile is not None:
         os.makedirs(os.path.dirname(str(outfile)) or ".", exist_ok=True)
-        fig.savefig(outfile, dpi=150, bbox_inches="tight")
+        fig.savefig(outfile, dpi=dpi, bbox_inches="tight")
     plt.close(fig)
 
 
@@ -95,7 +95,11 @@ def plot_speed_quality_tradeoff_3d(metric_summary, algorithms, colors,
     scale = finite.max() if finite.size and finite.max() > 0 else 1.0
     for a in algorithms:
         s = metric_summary.get(a, {})
-        t, p, ss = s.get("time_mean"), s.get("psnr_mean"), s.get("ssim_mean")
+        t = s.get("time_mean", np.nan)
+        p = s.get("psnr_mean", np.nan)
+        ss = s.get("ssim_mean", np.nan)
+        if not (np.isfinite(t) and np.isfinite(p) and np.isfinite(ss)):
+            continue  # degrade gracefully like the _vals() panels
         m = s.get("memory_mean", np.nan)
         size = 40 + 260 * (m / scale if np.isfinite(m) else 0.1)
         ax.scatter([t], [p], [ss], s=size, color=colors.get(a, "#888"), label=a)
@@ -218,6 +222,7 @@ def plot_and_save_ssim_similarity_maps(vis, ibp_example, nlm_example, egi_exampl
         ("egi", to_gray01(egi_example[2])), ("freq", to_gray01(freq_example[1])),
     ]
     fig, axes = plt.subplots(2, 4, figsize=(18, 8))
+    im = None
     for ax, (name, img) in zip(axes.ravel(), candidates):
         if img.shape != hr.shape:
             ax.axis("off")
@@ -225,7 +230,8 @@ def plot_and_save_ssim_similarity_maps(vis, ibp_example, nlm_example, egi_exampl
         im = ax.imshow(ssim_map(hr, img), cmap="viridis", vmin=0, vmax=1)
         ax.set_title(f"SSIM map — {name}")
         ax.axis("off")
-    fig.colorbar(im, ax=axes.ravel().tolist(), shrink=0.7)
+    if im is not None:  # all-mismatched shapes: save the blank grid
+        fig.colorbar(im, ax=axes.ravel().tolist(), shrink=0.7)
     _save(fig, os.path.join(str(results_dir), filename) if results_dir else None)
 
 
@@ -237,6 +243,11 @@ def show_algorithm_ranking(metric_summary, maximize=None, minimize=None,
     Returns (ranked, scores) like the reference prints them."""
     ranked, scores, bounds = rank_algorithms(metric_summary, maximize, minimize,
                                              weights)
+    if maximize is None and minimize is None:
+        # mirror rank_algorithms' auto-derived default so the contribution
+        # heatmap shows the metrics the scores were actually built from
+        from tpusr.metrics.stats import auto_metric_sets
+        maximize, minimize = auto_metric_sets(metric_summary)
     maximize = maximize or []
     minimize = minimize or []
     metrics_all = list(dict.fromkeys(list(maximize) + list(minimize)))
@@ -270,9 +281,6 @@ def show_algorithm_ranking(metric_summary, maximize=None, minimize=None,
     ax2.set_title("Per-metric weighted contribution")
     fig.colorbar(im, ax=ax2, shrink=0.8)
     fig.tight_layout()
-    out = os.path.join(str(results_dir), filename) if results_dir else None
-    if out:
-        os.makedirs(str(results_dir), exist_ok=True)
-        fig.savefig(out, dpi=dpi, bbox_inches="tight")
-    plt.close(fig)
+    _save(fig, os.path.join(str(results_dir), filename) if results_dir
+          else None, dpi=dpi)
     return ranked, scores

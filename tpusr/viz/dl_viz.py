@@ -142,7 +142,10 @@ def plot_classification_reports_panel(y_true, algo_names, preds_lists,
     bars (accuracy / macro-recall / macro-F1 / weighted-F1) and per-class
     F1 & recall heatmaps (deep_lerning_visualizations.py:230-424)."""
     y_true = np.asarray(y_true)
-    num_classes = int(y_true.max()) + 1
+    # size from labels AND predictions: a predicted class absent from the
+    # label slice must not index out of the confusion matrix
+    num_classes = int(max(int(y_true.max()),
+                          *(int(np.asarray(p).max()) for p in preds_lists))) + 1
     if class_names is None:
         class_names = [str(c) for c in range(num_classes)]
     reports = {a: classification_report_dict(y_true, p, num_classes)
