@@ -88,6 +88,9 @@ def test_fused_pipeline_sharded_batch():
 
     lr = np.random.default_rng(2).random((8, 16, 16, 3)).astype(np.float32)
     sr_plain, cls_plain, conf_plain = pipe(lr)
+    # mesh= must make a plain-ndarray call actually run data-parallel
+    # (regression: the arg was stored and ignored, silently one-device)
+    assert len(sr_plain.sharding.device_set) == len(mesh.devices.ravel())
     sr_sh, cls_sh, conf_sh = pipe(shard_batch(mesh, lr))
     np.testing.assert_allclose(np.asarray(sr_plain), np.asarray(sr_sh), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(cls_plain), np.asarray(cls_sh))
