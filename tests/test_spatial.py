@@ -76,7 +76,8 @@ def test_super_resolve_full_image_blockwise_and_mesh_paths():
     np.testing.assert_allclose(sr_m, want, atol=5e-5, rtol=5e-5)
 
 
-def test_full_image_sr_fn_is_cached():
+@pytest.mark.slow  # second full generator compile (~14s); the mesh path
+def test_full_image_sr_fn_is_cached():  # itself is covered in the quick loop
     """Repeated full_image_esrgan_sr calls with the same generator config and
     mesh reuse one jitted wrapper (jit's shape cache then avoids per-image
     recompiles)."""

@@ -11,3 +11,4 @@ from tpusr.pipeline.defect_pipeline import (
     make_serving_pipeline,
     run_defect_detection_comparison,
 )
+from tpusr.pipeline.serving import PipelineServer
