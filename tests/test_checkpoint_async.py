@@ -141,3 +141,29 @@ def test_fit_checkpoint_offset_continues_numbering(tmp_path):
     names = sorted(d for d in os.listdir(tmp_path) if not d.endswith(".json"))
     assert names == ["epoch_0011", "epoch_0012"], names
     assert load_metadata(str(tmp_path), "epoch_0012")["epoch"] == 12
+
+
+def test_fit_surfaces_periodic_save_failure(tmp_path, monkeypatch):
+    """A failed periodic write must raise out of fit (at the next save's
+    wait or the final wait) — not vanish when its handle is replaced."""
+    import tpusr.train.checkpoint as ckpt_mod
+
+    real_save = ckpt_mod.save_checkpoint
+    calls = {"n": 0}
+
+    def failing_save(directory, name, tree, metadata=None):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("disk full (injected)")
+        return real_save(directory, name, tree, metadata)
+
+    monkeypatch.setattr(ckpt_mod, "save_checkpoint", failing_save)
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.random((8, 8, 8, 3), np.float32))
+    tr = SupervisedSRTrainer(SRCNN(f1=4, f2=2), learning_rate=1e-3)
+    with pytest.raises(OSError, match="disk full"):
+        tr.fit(x[:6], x[:6], x[6:], x[6:], batch_size=4, epochs=4,
+               verbose=False, es_patience=10, plateau_patience=10,
+               checkpoint_dir=str(tmp_path), checkpoint_every=1)
+    assert calls["n"] >= 2
