@@ -25,11 +25,17 @@ def test_surface_dataset_is_discriminative_and_balanced():
 
 
 def test_gate_harness_end_to_end_smoke():
+    # one non-int8-SR mode + one int8-SR mode: exercises both the skipped
+    # and built int8-SR-variant branches of run_gate's lazy construction
+    modes = ("shared_trunk_f32", "int8_sr_noborder_shared_trunk_int8")
     rep = run_gate(n_images=2, size=128, clf_steps=2, edsr_steps=2,
-                   verbose=False, mode_names=("shared_trunk_f32",))
+                   verbose=False, mode_names=modes)
     assert rep["protocol"]["patch"] == 96 and rep["protocol"]["stride"] == 48
-    assert {m["mode"] for m in rep["modes"]} == {"shared_trunk_f32"}
-    m = rep["modes"][0]
-    assert set(m) >= {"vote_agreement", "mean_abs_conf_drift", "accuracy",
-                      "pred_class1_frac", "passes_gate"}
-    assert "meaningful" in rep and "psnr_int8_sr_vs_f32_sr_db" in rep
+    assert {m["mode"] for m in rep["modes"]} == set(modes)
+    for m in rep["modes"]:
+        assert set(m) >= {"vote_agreement", "mean_abs_conf_drift", "accuracy",
+                          "pred_class1_frac", "passes_gate"}
+    assert "meaningful" in rep
+    # only the requested int8-SR variant was built and measured
+    assert rep["psnr_int8_noborder_sr_vs_f32_sr_db"] is not None
+    assert rep["psnr_int8_sr_vs_f32_sr_db"] is None
