@@ -57,8 +57,8 @@ def _sep_blur(img, kv, kh):
     x = x[None]
     dn = ("NHWC", "HWIO", "NHWC")
     c = img.shape[-1]
-    kvf = jnp.tile(kv.reshape(-1, 1, 1, 1), (1, 1, 1, 1))
-    khf = jnp.tile(kh.reshape(1, -1, 1, 1), (1, 1, 1, 1))
+    kvf = kv.reshape(-1, 1, 1, 1)
+    khf = kh.reshape(1, -1, 1, 1)
     # depthwise: move channels into batch
     n, hh, ww, _ = x.shape
     xr = jnp.transpose(x, (0, 3, 1, 2)).reshape(n * c, hh, ww, 1)
@@ -117,6 +117,11 @@ def degrade_image_core(hr01: jnp.ndarray, key: jax.Array,
     return jnp.clip(lr, 0.0, 255.0) / 255.0, interp_idx
 
 
+# module-level wrapper: a fresh jax.jit per degrade_image call would miss
+# the C++ fast-path dispatch cache on every frame of a video extraction
+_degrade_core_jit = jax.jit(degrade_image_core, static_argnums=2)
+
+
 def jpeg_roundtrip(lr01: np.ndarray, quality: int) -> np.ndarray:
     """Host-side JPEG re-encode (common_methods.py:94-99)."""
     import cv2
@@ -134,7 +139,7 @@ def degrade_image(hr01, key=None, cfg: DegradeConfig = DegradeConfig(),
     host JPEG stage. Returns (lr01, interp_name)."""
     if key is None:
         key = jax.random.PRNGKey(0 if seed is None else seed)
-    lr01, interp_idx = jax.jit(degrade_image_core, static_argnums=2)(
+    lr01, interp_idx = _degrade_core_jit(
         jnp.asarray(np.asarray(hr01, np.float32)), key, cfg)
     lr01 = np.asarray(lr01)
     interp_name = _INTERP_NAMES[int(interp_idx)]

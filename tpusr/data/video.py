@@ -98,6 +98,9 @@ def create_hr_lr_images_from_video(
     os.makedirs(lr_dir, exist_ok=True)
 
     cap = cv2.VideoCapture(video_path)
+    if not cap.isOpened():
+        raise ValueError(f"could not open video (corrupt/unsupported codec?):"
+                         f" {video_path}")
     fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
     skip_frames = int(skip_seconds * fps)
     step = max(1, int(frame_interval_seconds * fps))
@@ -128,6 +131,11 @@ def create_hr_lr_images_from_video(
         if hr_size is not None:
             crop = cv2.resize(crop, (hr_size, hr_size),
                               interpolation=cv2.INTER_AREA)
+        elif crop.shape[0] % 2:
+            # the x0.5 degradation truncates: an odd HR (e.g. 607) yields a
+            # 303 LR with 303*2 != 607, silently misaligning every 'scale'
+            # mode patch pair — trim to even instead
+            crop = crop[:-1, :-1]
         hr_rgb01 = cv2.cvtColor(crop, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
         key, sub = jax.random.split(key)
         lr_rgb01, interp_name = degrade_image(hr_rgb01, key=sub, cfg=degrade_cfg)

@@ -133,6 +133,12 @@ def edsr_forward_poly(params: dict, x: jnp.ndarray, scale_factor: int,
     cin = w_tail.shape[2]
     assert z.shape[-1] == cin * r * r
     if poly_tail_kernel is None:
+        if isinstance(w_tail, jax.core.Tracer):
+            raise ValueError(
+                "edsr_forward_poly: the on-the-fly polyphase tail kernel is "
+                "host-computed and cannot be built from traced params — "
+                "precompute it (polyphase_tail_kernel) and pass "
+                "poly_tail_kernel=, or close the params over the jit")
         poly_tail_kernel = jnp.asarray(
             polyphase_tail_kernel(np.asarray(jax.device_get(w_tail)), r))
     zp = jax.lax.conv_general_dilated(
@@ -190,8 +196,6 @@ def fused_tail_kernel(params: dict, scale_factor: int):
     n_stages = 3 if s == 4 else 2
     k_eff = 2 * n_stages + 1
     pad = k_eff // 2
-    f = params["head"]["bias"].shape[0] if "head" in params else \
-        params["up0"]["kernel"].shape[2]
     f = params["up0"]["kernel"].shape[2]
     c_out = params["tail"]["kernel"].shape[3]
 

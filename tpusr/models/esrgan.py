@@ -87,6 +87,13 @@ class ESRGANGenerator(nn.Module):
                           name="self_attention_trunk")(y)
 
         num_up = int(math.log2(self.scale_factor))
+        if 2 ** num_up != self.scale_factor:
+            # fail loudly like EDSR does: int(log2(3)) == 1 would silently
+            # build an x2 generator against x3 targets
+            raise ValueError(
+                f"ESRGANGenerator scale_factor must be a power of 2 "
+                f"(log2(scale) upsample blocks, ESRGAN_model.py:327-339); "
+                f"got {self.scale_factor}")
         for i in range(num_up):
             y = nn.Conv(f * 4, (3, 3), padding="SAME", name=f"upsample_{i}_conv")(y)
             y = pixel_shuffle(y, 2)

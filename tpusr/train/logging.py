@@ -24,10 +24,11 @@ class MetricsLogger:
         self._f = open(path, "a")
 
     def log(self, scope: str, step: int, metrics: dict):
-        rec = {"run": self.run_name, "scope": scope, "step": int(step),
-               "time": time.time(),
-               **{k: (float(v) if hasattr(v, "__float__") else v)
-                  for k, v in metrics.items()}}
+        # metrics first, fixed fields second: a metric named run/scope/step/
+        # time must not clobber the record schema read_jsonl filters on
+        rec = {**{k: _jsonable_value(v) for k, v in metrics.items()},
+               "run": self.run_name, "scope": scope, "step": int(step),
+               "time": time.time()}
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
         if self.echo:
@@ -47,6 +48,16 @@ class MetricsLogger:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def _jsonable_value(v):
+    """Scalars -> float; arrays (ndarray/jax, any size) -> nested lists —
+    float(v) on a multi-element array raises TypeError mid-training."""
+    if hasattr(v, "tolist") and getattr(v, "ndim", 0) > 0:
+        return v.tolist()
+    if hasattr(v, "__float__"):
+        return float(v)
+    return v
 
 
 def read_jsonl(path: str, scope: str | None = None) -> list[dict]:

@@ -14,12 +14,16 @@ import jax
 @contextlib.contextmanager
 def debug_mode(nans: bool = True, disable_jit: bool = False):
     """Enable jax debugging aids within a scope:
-    - jax_debug_nans: raise on the op producing the first NaN/Inf;
+    - jax_debug_nans + jax_debug_infs: raise on the op producing the first
+      NaN/Inf (infs need their own flag — jax_debug_nans alone lets a bf16
+      overflow through silently);
     - optionally disable jit for python-level stepping.
     """
     prev_nans = jax.config.jax_debug_nans
+    prev_infs = jax.config.jax_debug_infs
     try:
         jax.config.update("jax_debug_nans", bool(nans))
+        jax.config.update("jax_debug_infs", bool(nans))
         if disable_jit:
             with jax.disable_jit():
                 yield
@@ -27,6 +31,7 @@ def debug_mode(nans: bool = True, disable_jit: bool = False):
             yield
     finally:
         jax.config.update("jax_debug_nans", prev_nans)
+        jax.config.update("jax_debug_infs", prev_infs)
 
 
 def assert_all_finite(tree, name: str = "tree"):
