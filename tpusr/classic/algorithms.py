@@ -186,8 +186,11 @@ def non_local_means(hr_g: jnp.ndarray, lr_g01: jnp.ndarray,
     sigma = estimate_sigma(lr_g01)
     h = 1.15 * sigma
     if use_pallas is None:
+        # VMEM bound: the kernel keeps ~6 image-sized f32 buffers resident
+        # (~25 B/pixel); 512x512 is ~6.5 MB of the 16 MB budget — a 1024^2
+        # gate would hit Mosaic VMEM exhaustion instead of falling back
         use_pallas = (jax.default_backend() == "tpu"
-                      and lr_g01.shape[0] * lr_g01.shape[1] <= 1024 * 1024)
+                      and lr_g01.shape[0] * lr_g01.shape[1] <= 512 * 512)
     if use_pallas:
         from tpusr.core.pallas_nlm import nlm_denoise_pallas
         den = nlm_denoise_pallas(lr_g01, sigma, h)

@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _nlm_kernel(dy_ref, dx_ref, x_ref, p_ref, out_ref, num_ref, den_ref,
-                d_ref, row_ref, *, H, W, pad, box, d):
+                d_ref, row_ref, *, H, W, pad, box):
     """One fori_loop over the 169-offset table. Mosaic forbids unaligned
     dynamic slicing of tiled dims, so each offset is realized as two dynamic
     circular rotates (``pltpu.roll``) of the whole padded array followed by
@@ -84,7 +84,8 @@ def nlm_denoise_pallas(img01: jnp.ndarray, sigma, h,
     """Fast NLM on a [0,1] grayscale image — single-kernel TPU implementation.
 
     Holds the whole image in VMEM; suitable for the reference's image sizes
-    (up to ~1k x 1k in f32 within the 16 MB budget). Falls back to the scan
+    (~6 image-sized f32 buffers stay resident, ~25 B/pixel, so ~512x512 fits
+    the 16 MB budget; the dispatch gate enforces this). Falls back to the scan
     implementation for larger inputs (see tpusr.classic.algorithms).
     """
     H, W = img01.shape
@@ -109,7 +110,7 @@ def nlm_denoise_pallas(img01: jnp.ndarray, sigma, h,
     inv_h2 = 1.0 / jnp.maximum(jnp.asarray(h, jnp.float32) ** 2, 1e-12)
     p = jnp.stack([sig2, inv_h2]).reshape(1, 2)
 
-    kernel = functools.partial(_nlm_kernel, H=H, W=W, pad=pad, box=box, d=d)
+    kernel = functools.partial(_nlm_kernel, H=H, W=W, pad=pad, box=box)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # dy/dx offset tables land in SMEM
         grid=(1,),

@@ -23,6 +23,8 @@ def make_mesh(n_devices: int | None = None, axis_names: tuple[str, ...] = ("data
               shape: tuple[int, ...] | None = None) -> Mesh:
     """Build a mesh over the first `n_devices` local devices (default: all)."""
     devs = jax.devices()
+    if shape is not None and n_devices is None:
+        n_devices = int(np.prod(shape))  # sub-mesh: take only what it needs
     if n_devices is None:
         n_devices = len(devs)
     devs = devs[:n_devices]

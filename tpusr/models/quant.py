@@ -23,22 +23,21 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# (block, convs) for VGG16 — mirrors models/vgg._VGG16_CFG
-_CFG = ((1, 2, 64), (2, 2, 128), (3, 3, 256), (4, 3, 512), (5, 3, 512))
+from tpusr.models.vgg import _VGG16_CFG as _CFG  # one architecture table
 
 
 def _conv_names():
     return [f"block{b}_conv{c}" for b, n, _f in _CFG for c in range(1, n + 1)]
 
 
-def calibrate_vgg16(params: dict, sample_patches, num_classes: int = 2):
+def calibrate_vgg16(params: dict, sample_patches):
     """Collect per-layer activation max-abs on a f32 reference forward.
 
     Returns {layer_name: scale} where scale maps activations to int8
     (x_q = round(x / scale)). The input scale is keyed as '__input__'.
     """
     x = jnp.asarray(np.asarray(sample_patches, np.float32))
-    scales = {"__input__": float(jnp.max(jnp.abs(x))) / 127.0}
+    scales = {"__input__": max(float(jnp.max(jnp.abs(x))) / 127.0, 1e-8)}
     bb = params["vgg16"]
     for block, n_convs, _f in _CFG:
         for ci in range(1, n_convs + 1):

@@ -18,6 +18,7 @@ initializers.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -47,6 +48,9 @@ class _VGGBackbone(nn.Module):
                 if self.until == name:
                     return x
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        if self.until is not None:  # typo'd stop layer must not silently
+            raise ValueError(       # return the wrong (post-pool5) features
+                f"until={self.until!r} matched no layer of this backbone")
         return x
 
 
@@ -88,12 +92,30 @@ def load_keras_h5_weights(params: dict, h5_path: str, backbone_key: str) -> dict
 
     out = {k: dict(v) if isinstance(v, dict) else v for k, v in params.items()}
     bb = {k: dict(v) for k, v in out[backbone_key].items()}
+    filled = set()
     for _lname, ws in keras_layer_weights(h5_path):
         for wname, arr in ws:
             layer = _layer_of(wname)
             if layer in bb and _leaf(wname) == "kernel":
-                bias = next(a for w2, a in ws
-                            if _layer_of(w2) == layer and _leaf(w2) == "bias")
+                bias = next((a for w2, a in ws
+                             if _layer_of(w2) == layer and _leaf(w2) == "bias"),
+                            None)
+                if bias is None:
+                    raise ValueError(f"{h5_path}: layer {layer!r} has a "
+                                     f"kernel but no bias")
+                want = tuple(np.shape(bb[layer]["kernel"]))
+                if tuple(arr.shape) != want:
+                    raise ValueError(
+                        f"{h5_path}: shape mismatch at {layer}: h5 "
+                        f"{arr.shape} vs flax {want}")
                 bb[layer] = {"kernel": jnp.asarray(arr), "bias": jnp.asarray(bias)}
+                filled.add(layer)
+    missing = sorted(set(bb) - filled)
+    if missing:
+        # an .h5 with unparsable names (or the wrong VGG variant) must not
+        # silently leave layers at random init — the perceptual loss /
+        # classifier would train against garbage with no error
+        raise ValueError(
+            f"{h5_path}: no weights found for backbone layers {missing}")
     out[backbone_key] = bb
     return out
