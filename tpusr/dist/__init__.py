@@ -16,3 +16,9 @@ from tpusr.dist.spatial import (
     spatial_sharding,
     full_image_esrgan_sr,
 )
+from tpusr.dist.pp import (
+    make_pp_mesh,
+    make_pp_edsr_apply,
+    make_pp_train_step,
+    stack_res_params,
+)
