@@ -500,6 +500,46 @@ def cmd_pipeline(args):
     plot_sr_memory(names, metrics_per_model, save_dir=args.out)
 
 
+def cmd_convert(args):
+    """Round-trip a model between the tpusr orbax checkpoint format and the
+    reference's native Keras ``.h5`` artifacts (SRCNN_model.py:249-259,
+    EDSR_model.py:317-330, ESRGAN_model.py:981-996, VGG16_model.py:272-281).
+
+    Direction is inferred from ``--src``: a ``.h5``/``.hdf5`` file is
+    imported and written as a tpusr checkpoint; anything else is loaded as a
+    checkpoint and exported to ``.h5`` (loadable with
+    ``keras.models.load_model``)."""
+    from tpusr.models.api import ESRGAN, EDSR, FineTunedVGG16, SRCNNModel
+
+    to_ckpt = args.src.endswith((".h5", ".hdf5"))
+    ts = args.timestamp or _timestamp()
+    if args.model == "srcnn":
+        m = SRCNNModel()
+        m.setup_model(from_pretrained=True, pretrained_path=args.src)
+    elif args.model == "edsr":
+        m = EDSR()
+        m.setup_model(scale_factor=args.scale, num_res_blocks=args.blocks,
+                      num_filters=args.filters, from_pretrained=True,
+                      pretrained_path=args.src)
+    elif args.model == "esrgan":
+        m = ESRGAN()
+        hw = args.patch_size
+        m.setup_model(scale_factor=args.scale, growth_channels=args.growth,
+                      num_rrdb_blocks=args.rrdb_blocks,
+                      input_shape=(hw, hw, 3),
+                      output_shape=(hw * args.scale, hw * args.scale, 3),
+                      from_trained=True,
+                      generator_pretrained_path=args.src,
+                      discriminator_pretrained_path=args.disc)
+    else:  # vgg16
+        m = FineTunedVGG16()
+        m.setup_model(input_shape=(args.input_hw, args.input_hw, 3),
+                      num_classes=args.num_classes,
+                      from_pretrained=True, pretrained_path=args.src)
+    path = m.save(args.out, ts) if to_ckpt else m.save_h5(args.out, ts)
+    print(f"Converted {args.src} -> {path}")
+
+
 def cmd_eda(args):
     from tpusr.data.eda import run_eda_pipeline
 
@@ -605,6 +645,35 @@ def main(argv=None):
                     default="bilinear,bicubic,area,lanczos4",
                     help="comma list of classic interpolators to compare")
     sp.set_defaults(fn=cmd_pipeline)
+
+    sp = sub.add_parser("convert")
+    sp.add_argument("--model", required=True,
+                    choices=("srcnn", "edsr", "esrgan", "vgg16"))
+    sp.add_argument("--src", required=True,
+                    help="a Keras .h5 (imports to a tpusr checkpoint) or a "
+                         "tpusr checkpoint path (exports to .h5)")
+    sp.add_argument("--disc", default=None,
+                    help="discriminator .h5 (required for --model esrgan "
+                         "when --src is a generator .h5)")
+    sp.add_argument("--out", default="checkpoints")
+    sp.add_argument("--timestamp", default=None,
+                    help="artifact timestamp suffix (default: now)")
+    sp.add_argument("--scale", type=int, default=2)
+    sp.add_argument("--blocks", type=int, default=16,
+                    help="EDSR res blocks (needed for .h5 sources only; "
+                         "checkpoints carry their architecture sidecar)")
+    sp.add_argument("--filters", type=int, default=64)
+    sp.add_argument("--growth", type=int, default=32,
+                    help="ESRGAN growth channels")
+    sp.add_argument("--rrdb-blocks", type=int, default=23)
+    sp.add_argument("--patch-size", type=int, default=24,
+                    help="ESRGAN LR train-patch size (fixes the "
+                         "discriminator export geometry)")
+    sp.add_argument("--input-hw", type=int, default=96,
+                    help="VGG16 input H=W (the reference trains on 96x96 "
+                         "patches)")
+    sp.add_argument("--num-classes", type=int, default=2)
+    sp.set_defaults(fn=cmd_convert)
 
     sp = sub.add_parser("eda")
     sp.add_argument("--hr-dir", required=True)
