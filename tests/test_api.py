@@ -74,6 +74,23 @@ def test_esrgan_facade_lifecycle():
     assert 0.0 <= sr_full.min() and sr_full.max() <= 1.0
 
 
+@pytest.mark.slow  # two full ESRGAN trainer inits + orbax round trip (~2.5 min)
+def test_esrgan_sidecar_restores_output_geometry(tmp_path):
+    """Reloading an x4 checkpoint with default (x2) setup args must restore
+    BOTH the scale and the SR output geometry — a stale output_shape would
+    mis-size the exported discriminator (cli convert regression)."""
+    m = ESRGAN()
+    m.setup_model(scale_factor=4, growth_channels=4, num_rrdb_blocks=1,
+                  input_shape=(8, 8, 3), output_shape=(32, 32, 3))
+    m.trained = True
+    m.save(str(tmp_path), "t0")
+    m2 = ESRGAN()
+    m2.setup_model(input_shape=(8, 8, 3), from_trained=True,
+                   generator_pretrained_path=str(tmp_path / "ESRGAN_x4_t0"))
+    assert m2.scale_factor == 4
+    assert m2.output_shape == (32, 32, 3)
+
+
 @pytest.mark.slow  # 36s real-size VGG16; facade machinery stays quick via the SRCNN/EDSR lifecycles, VGG16 trainer semantics via test_trainer_semantics
 def test_vgg16_facade_lifecycle(tmp_path):
     rng = np.random.default_rng(4)

@@ -537,6 +537,8 @@ def cmd_convert(args):
                       num_classes=args.num_classes,
                       from_pretrained=True, pretrained_path=args.src)
     path = m.save(args.out, ts) if to_ckpt else m.save_h5(args.out, ts)
+    if isinstance(path, tuple):  # ESRGAN exports generator + discriminator
+        path = " + ".join(path)
     print(f"Converted {args.src} -> {path}")
 
 

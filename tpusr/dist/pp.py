@@ -134,7 +134,13 @@ def make_pp_edsr_apply(model, mesh: Mesh, n_micro: int,
         out0 = jnp.zeros_like(h0_loc)
         # the carry becomes stage-varying inside the scan (res_p and
         # axis_index vary per stage); mark the initial values accordingly
-        zero, out0 = jax.lax.pcast((zero, out0), (stage_axis,), to="varying")
+        # (pcast is the current spelling, pvary the pre-rename one; oldest
+        # shard_map versions need no annotation at all)
+        if hasattr(jax.lax, "pcast"):
+            zero, out0 = jax.lax.pcast((zero, out0), (stage_axis,),
+                                       to="varying")
+        elif hasattr(jax.lax, "pvary"):
+            zero, out0 = jax.lax.pvary((zero, out0), (stage_axis,))
         (_, out), _ = jax.lax.scan(step, (zero, out0), jnp.arange(n_steps))
         # non-final stages hold zeros; the psum replicates the final
         # stage's buffer everywhere (out_specs declares mb_spec)

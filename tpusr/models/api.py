@@ -30,7 +30,7 @@ from tpusr.train.checkpoint import save_checkpoint, restore_checkpoint, load_met
 
 
 def _is_h5(path):
-    return isinstance(path, str) and path.endswith(".h5")
+    return isinstance(path, str) and path.endswith((".h5", ".hdf5"))
 
 
 def _bound_fn(obj, cache_attr, params, build):
@@ -282,6 +282,12 @@ class ESRGAN:
                 scale_factor = arch.get("scale_factor", scale_factor)
                 growth_channels = arch.get("growth_channels", growth_channels)
                 num_rrdb_blocks = arch.get("num_rrdb_blocks", num_rrdb_blocks)
+                # keep the SR geometry consistent with the restored scale
+                # (output is always input*scale; a stale caller-provided
+                # output_shape would mis-size the exported discriminator)
+                output_shape = (input_shape[0] * scale_factor,
+                                input_shape[1] * scale_factor,
+                                input_shape[2])
         self.scale_factor = scale_factor
         self.output_shape = tuple(output_shape)
         self._arch = {"scale_factor": scale_factor,
