@@ -17,7 +17,8 @@ from tpusr.models.edsr_quant import (calibrate_edsr, make_fused_sr_apply_int8,
 from tpusr.models.layers import pixel_shuffle
 
 
-@pytest.mark.parametrize("scale", [2, 4])
+@pytest.mark.parametrize(
+    "scale", [2, pytest.param(4, marks=pytest.mark.slow)])
 def test_int8_sr_tracks_f32(scale):
     m = EDSR(scale_factor=scale, num_res_blocks=2, num_filters=8)
     v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))

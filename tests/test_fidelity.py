@@ -96,7 +96,19 @@ def test_srcnn_fused_pipeline_matches_reference_flow():
 
 
 def test_classify_matches_reference_flow():
-    m = VGG16Classifier(num_classes=2)
+    # pad/patch/vote flow parity is network-independent; a tiny conv head
+    # keeps this in the quick loop (the full VGG16 classifier is exercised
+    # against the reference flow in test_shared_trunk / test_quant_trained)
+    import flax.linen as nn
+
+    class TinyClf(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.relu(nn.Conv(8, (3, 3))(x))
+            x = x.mean(axis=(1, 2))
+            return nn.softmax(nn.Dense(2)(x))
+
+    m = TinyClf()
     v = m.init(jax.random.PRNGKey(2), jnp.zeros((1, 32, 32, 3)))
     clf = lambda p: m.apply(v, p)
 

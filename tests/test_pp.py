@@ -32,7 +32,8 @@ def test_stack_res_params_layout():
         stack_res_params(params, 3)
 
 
-@pytest.mark.parametrize("n_micro", [4, 6])
+@pytest.mark.parametrize(
+    "n_micro", [4, pytest.param(6, marks=pytest.mark.slow)])
 def test_pp_forward_matches_dense(n_micro):
     model, params = _small_model_and_params(blocks=8)
     mesh = make_pp_mesh(n_stages=4)
@@ -79,6 +80,8 @@ def test_pp_validation_errors():
         apply_pp(params, x)
 
 
+@pytest.mark.slow  # DP x PP composition: forward covered quick by
+# test_pp_dp_composition, grads by test_pp_train_step_matches_dense_grads
 def test_pp_dp_train_step_matches_dense():
     """DP x PP train step on the 2-D mesh == the unsharded SGD step (loss)."""
     model, params = _small_model_and_params(blocks=4)

@@ -155,9 +155,19 @@ def test_trailing_batch_trains_on_it():
 def test_metrics_logger_wired(tmp_path, clf_data):
     from tpusr.train.logging import MetricsLogger, read_jsonl, jsonl_to_csv
 
+    # logger wiring is network-independent; a tiny classifier keeps this in
+    # the quick loop (full-VGG16 fit paths are covered by the other tests here)
+    import flax.linen as nn
+
+    class TinyClf(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.relu(nn.Conv(8, (3, 3))(x)).mean(axis=(1, 2))
+            return nn.softmax(nn.Dense(2)(x))
+
     x, y = clf_data
     path = os.path.join(tmp_path, "metrics.jsonl")
-    trainer = ClassifierTrainer(VGG16Classifier(num_classes=2))
+    trainer = ClassifierTrainer(TinyClf())
     with MetricsLogger(path, run_name="t") as logger:
         trainer.fit(x[:16], y[:16], x[16:], y[16:], batch_size=8, epochs=2,
                     verbose=False, metrics_logger=logger)
