@@ -46,8 +46,11 @@ def test_pp_forward_matches_dense(n_micro):
                                atol=1e-5, rtol=1e-4)
 
 
-def test_pp_forward_x4_tail():
-    model, params = _small_model_and_params(scale=4, blocks=4)
+@pytest.mark.parametrize("scale", [3, 4])
+def test_pp_forward_upsample_tail(scale):
+    """Scale 3 takes the single up0-with-r=3 tail branch; scale 4 the
+    chained x2 branch — both must match the dense forward."""
+    model, params = _small_model_and_params(scale=scale, blocks=4)
     mesh = make_pp_mesh(n_stages=2)
     apply_pp = make_pp_edsr_apply(model, mesh, n_micro=2)
     x = jnp.asarray(

@@ -513,6 +513,12 @@ def cmd_convert(args):
 
     to_ckpt = args.src.endswith((".h5", ".hdf5"))
     ts = args.timestamp or _timestamp()
+    if not to_ckpt and args.model == "esrgan" and args.disc:
+        # checkpoint sources carry both G and D (plus the arch sidecar);
+        # a user-supplied --disc would be silently ignored — refuse instead
+        raise SystemExit("--disc only applies when --src is a Keras .h5 "
+                         "generator; checkpoint sources already contain the "
+                         "discriminator")
     if args.model == "srcnn":
         m = SRCNNModel()
         m.setup_model(from_pretrained=True, pretrained_path=args.src)
@@ -660,14 +666,17 @@ def main(argv=None):
     sp.add_argument("--out", default="checkpoints")
     sp.add_argument("--timestamp", default=None,
                     help="artifact timestamp suffix (default: now)")
-    sp.add_argument("--scale", type=int, default=2)
+    sp.add_argument("--scale", type=int, default=2,
+                    help="SR scale (for .h5 sources only; checkpoints carry "
+                         "their architecture sidecar)")
     sp.add_argument("--blocks", type=int, default=16,
                     help="EDSR res blocks (needed for .h5 sources only; "
                          "checkpoints carry their architecture sidecar)")
     sp.add_argument("--filters", type=int, default=64)
     sp.add_argument("--growth", type=int, default=32,
-                    help="ESRGAN growth channels")
-    sp.add_argument("--rrdb-blocks", type=int, default=23)
+                    help="ESRGAN growth channels (.h5 sources only)")
+    sp.add_argument("--rrdb-blocks", type=int, default=23,
+                    help="ESRGAN RRDB block count (.h5 sources only)")
     sp.add_argument("--patch-size", type=int, default=24,
                     help="ESRGAN LR train-patch size (fixes the "
                          "discriminator export geometry)")

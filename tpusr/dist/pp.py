@@ -35,7 +35,7 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from tpusr.models.edsr_fast import _conv
 from tpusr.models.layers import pixel_shuffle
