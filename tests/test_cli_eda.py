@@ -120,6 +120,74 @@ def test_eda_pipeline(tiny_dataset, tmp_path):
     assert len(list((out / "LPIPS_Scenarios").rglob("*.png"))) >= 4
 
 
+def test_lpips_provisioning_rehearsal(tiny_dataset, tmp_path, monkeypatch):
+    """Full provisioning path rehearsal BEFORE real weight files exist:
+    synthesize torch .pth checkpoints with the official layouts, run the
+    actual `python -m tpusr.tools.lpips_weights` CLI, then drive
+    `tpusr eda --lpips-weights` through the activated LPIPS column
+    (EDA.ipynb cells 1/5/10)."""
+    import subprocess
+    import sys
+
+    import torch
+
+    from tpusr.metrics.lpips import ALEX_CONVS
+
+    rng = np.random.default_rng(3)
+    # torchvision AlexNet-OWT layout: .features.{0,3,6,8,10}.{weight,bias},
+    # OIHW kernels
+    alex_sd, in_ch = {}, 3
+    for idx, (k, _s, _p, out_ch) in zip((0, 3, 6, 8, 10), ALEX_CONVS):
+        alex_sd[f"features.{idx}.weight"] = torch.tensor(
+            rng.normal(0, 0.05, (out_ch, in_ch, k, k)).astype(np.float32))
+        alex_sd[f"features.{idx}.bias"] = torch.tensor(
+            rng.normal(0, 0.01, (out_ch,)).astype(np.float32))
+        in_ch = out_ch
+    # lpips v0.1 linear-head layout: lin{i}.model.1.weight, (1, C, 1, 1)
+    lin_sd = {
+        f"lin{i}.model.1.weight": torch.tensor(
+            rng.random((1, c, 1, 1)).astype(np.float32))
+        for i, (_k, _s, _p, c) in enumerate(ALEX_CONVS)
+    }
+    alex_pth = tmp_path / "alexnet-owt-synth.pth"
+    lin_pth = tmp_path / "alex-linear-synth.pth"
+    torch.save(alex_sd, str(alex_pth))
+    torch.save(lin_sd, str(lin_pth))
+
+    npz = tmp_path / "w" / "lpips_alex.npz"
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    res = subprocess.run(
+        [sys.executable, "-m", "tpusr.tools.lpips_weights",
+         "--alexnet", str(alex_pth), "--linear", str(lin_pth),
+         "--out", str(npz)],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert npz.exists() and "validated" in res.stdout
+
+    # the converted bundle passes the strict shape validation
+    from tpusr.tools.lpips_weights import validate
+    validate(dict(np.load(str(npz)).items()))
+
+    # drive the EDA CLI through the now-active LPIPS column; clear the
+    # module-level lazy cache so this test is order-independent
+    import tpusr.data.eda as eda_mod
+    monkeypatch.setattr(eda_mod, "_LPIPS_JAX_W", None)
+    monkeypatch.delenv("TPUSR_LPIPS_WEIGHTS", raising=False)
+    from tpusr.cli.__main__ import main
+    out = tmp_path / "eda"
+    main(["eda", "--lr-dir", str(tiny_dataset / "LR"),
+          "--hr-dir", str(tiny_dataset / "HR"), "--out", str(out),
+          "--lpips-weights", str(npz)])
+    import pandas as pd
+    df = pd.read_csv(out / "eda_metrics.csv")
+    assert "lpips" in df.columns and df["lpips"].notna().all()
+    assert df["lpips"].std() > 0  # real per-pair values, not a constant
+    # best/worst scenario dumps keyed by LPIPS now exist
+    assert len(list((out / "LPIPS_Scenarios").rglob("*.png"))) >= 4
+    monkeypatch.setattr(eda_mod, "_LPIPS_JAX_W", None)
+
+
 def test_glcm_features_properties():
     """GLCM sanity: uniform image -> contrast 0, homogeneity 1."""
     from tpusr.data.eda import glcm_features
