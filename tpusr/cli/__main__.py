@@ -557,6 +557,106 @@ def cmd_eda(args):
                      interp_map_path=args.interp_map, limit=args.limit)
 
 
+def cmd_serve(args):
+    """Stand up the production serving tier: load trained EDSR + VGG16
+    checkpoints, build a gated ``make_serving_pipeline`` configuration, and
+    serve HTTP requests with cross-request micro-batching (PipelineServer).
+    The reference has no serving surface (notebooks only) — this is the
+    TPU-native deployment path; fast modes are validated at protocol scale
+    by ``python -m tpusr.tools.serving_gate`` (GATE.json)."""
+    import glob
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from tpusr.models.api import EDSR as EDSRFacade, FineTunedVGG16
+    from tpusr.pipeline import PipelineServer, make_serving_pipeline
+    from tpusr.pipeline.http_serving import make_http_server
+
+    lr_hw = (args.lr_size, args.lr_size)
+    edsr = EDSRFacade()
+    edsr.setup_model(scale_factor=args.scale, from_pretrained=True,
+                     pretrained_path=args.edsr_ckpt)
+    vgg = FineTunedVGG16()
+    vgg.setup_model(input_shape=(args.patch, args.patch, 3),
+                    num_classes=args.num_classes, from_pretrained=True,
+                    pretrained_path=args.vgg16_ckpt)
+
+    calib_lr = calib_patches = None
+    if args.sr_mode == "int8" or args.clf_mode.endswith("int8"):
+        if args.calib_dir:
+            import cv2
+
+            files = sorted(f for ext in ("png", "jpg", "jpeg")
+                           for f in glob.glob(os.path.join(args.calib_dir,
+                                                           f"*.{ext}")))[:16]
+            if not files:
+                raise SystemExit(f"--calib-dir {args.calib_dir}: no images")
+            imgs = []
+            for f in files:
+                bgr = cv2.imread(f, cv2.IMREAD_COLOR)
+                if bgr.shape[:2] != lr_hw:
+                    bgr = cv2.resize(bgr, lr_hw[::-1],
+                                     interpolation=cv2.INTER_AREA)
+                imgs.append(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
+            calib_lr = jnp.asarray(np.stack(imgs), jnp.float32) / 255.0
+        else:
+            print("warning: int8 mode without --calib-dir — calibrating on "
+                  "random inputs (pass real LR images for tighter scales)",
+                  flush=True)
+            calib_lr = jnp.asarray(np.random.default_rng(0).random(
+                (8, *lr_hw), dtype=np.float32)[..., None].repeat(3, -1))
+        # classifier calibration patches come from the f32 SR of the same
+        # calibration images — the distribution the classifier will see
+        from tpusr.core.patches import patchify
+        from tpusr.models.edsr_fast import make_fused_sr_apply
+        from tpusr.models.layers import pixel_shuffle
+
+        fn, r = make_fused_sr_apply(edsr.state.params, args.scale,
+                                    dtype=jnp.float32)
+        sr = pixel_shuffle(fn(calib_lr[:4]), r)
+        pats = jax.vmap(lambda im: patchify(im, args.patch,
+                                            args.stride))(sr)
+        calib_patches = pats.reshape((-1, args.patch, args.patch, 3))[:64]
+
+    pipe = make_serving_pipeline(
+        edsr.state.params, vgg.state.params, lr_hw, args.scale,
+        patch=args.patch, stride=args.stride, sr_mode=args.sr_mode,
+        clf_mode=args.clf_mode, calib_lr=calib_lr,
+        calib_patches=calib_patches,
+        sr_border_correction=not args.no_border)
+
+    config = {"sr_mode": args.sr_mode, "clf_mode": args.clf_mode,
+              "scale": args.scale, "patch": args.patch,
+              "stride": args.stride, "batch_size": args.batch_size,
+              "max_wait_ms": args.max_wait_ms,
+              "border_correction": not args.no_border}
+    with PipelineServer(pipe, batch_size=args.batch_size,
+                        max_wait_ms=args.max_wait_ms) as server:
+        # warm the FULL serving path (jit compile + pad/coalesce + worker
+        # round trip) before announcing readiness: the first real request
+        # must not eat a multi-minute compile
+        server.submit(np.zeros((*lr_hw, 3), np.float32)).result(timeout=900)
+        httpd = make_http_server(
+            server, lr_hw, config=config, host=args.host, port=args.port,
+            request_timeout=args.request_timeout,
+            max_requests=args.max_requests or None)
+        port = httpd.server_address[1]
+        if args.port_file:
+            with open(args.port_file, "w") as f:
+                f.write(str(port))
+        print(f"tpusr serve: {args.sr_mode} SR x {args.clf_mode} on "
+              f"http://{args.host}:{port} (POST /classify, /sr, "
+              f"/classify_sr; GET /healthz)", flush=True)
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            httpd.server_close()
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="tpusr")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -685,6 +785,41 @@ def main(argv=None):
                          "patches)")
     sp.add_argument("--num-classes", type=int, default=2)
     sp.set_defaults(fn=cmd_convert)
+
+    sp = sub.add_parser("serve", help="HTTP serving tier: micro-batched "
+                        "SR + defect classification from trained checkpoints")
+    sp.add_argument("--edsr-ckpt", required=True)
+    sp.add_argument("--vgg16-ckpt", required=True)
+    sp.add_argument("--scale", type=int, default=4)
+    sp.add_argument("--lr-size", type=int, default=128,
+                    help="served LR image side (compiled static shape)")
+    sp.add_argument("--patch", type=int, default=96)
+    sp.add_argument("--stride", type=int, default=48)
+    sp.add_argument("--num-classes", type=int, default=2)
+    sp.add_argument("--sr-mode", default="int8",
+                    choices=("f32", "bf16", "int8"))
+    sp.add_argument("--clf-mode", default="shared_trunk_int8",
+                    choices=("per_patch_f32", "per_patch_int8",
+                             "shared_trunk_f32", "shared_trunk_int8"))
+    sp.add_argument("--no-border", action="store_true",
+                    help="drop the int8 SR border band (classify-only mode: "
+                         "fastest, SR output not image-faithful — see "
+                         "GATE.json)")
+    sp.add_argument("--calib-dir", default=None,
+                    help="directory of LR images for int8 calibration")
+    sp.add_argument("--batch-size", type=int, default=16)
+    sp.add_argument("--max-wait-ms", type=float, default=5.0)
+    sp.add_argument("--request-timeout", type=float, default=120.0,
+                    help="per-request wait on the batcher future (seconds)")
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8512,
+                    help="0 picks a free port (printed + --port-file)")
+    sp.add_argument("--port-file", default=None,
+                    help="write the bound port here once listening")
+    sp.add_argument("--max-requests", type=int, default=0,
+                    help="shut down after N POSTs (0 = serve forever; "
+                         "smoke/CI use)")
+    sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("eda")
     sp.add_argument("--hr-dir", required=True)
