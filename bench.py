@@ -8,16 +8,21 @@ one jit'd graph on a single TPU chip.
 Methodology: the timed region is a `fori_loop` chain of N_CHAIN pipeline
 iterations INSIDE one jit, each iteration's input derived from the previous
 SR output — so every iteration does real, data-dependent device work and
-host/tunnel round-trip latency is amortized out. Prints ONE JSON line:
-{"metric", "value", "unit", "vs_baseline"}; vs_baseline is against the
-500 img/s/chip north-star target.
+host/tunnel round-trip latency is amortized out.
 
-Precision: the default serving configuration runs the SR net in bf16 and the
-classifier backbone in post-training int8 (tpusr.models.quant — v5e's int8 MXU
-path, patch-vote decisions track f32 to >=90% on random weights and tighter on
-trained ones). Set BENCH_INT8=0 for the bf16-classifier configuration and
-BENCH_BF16=0 for full f32 (the fp32 logit-parity path, also covered by
-tests/test_keras_import.py).
+Output: ONE JSON line {"metric", "value", "unit", "vs_baseline", "frontier"}.
+`value` is the default serving mode's throughput; `frontier` carries the full
+fidelity-throughput frontier measured in the same run — every serving mode
+from the protocol-scale gate (tpusr.tools.serving_gate / GATE.json) plus the
+bf16 and f32 parity paths, each annotated with its fidelity class. The
+north-star's "bitwise-comparable" reading is the f32_parity row; the gated
+modes trade bounded, measured fidelity drift for throughput (see PERF.md
+roofline: a per-patch f32 path above ~345 img/s exceeds single-chip peak
+bf16 FLOPs, so >=500 img/s REQUIRES the algorithmic modes).
+
+Env knobs: BENCH_FRONTIER=0 measures only the default mode (fast smoke);
+BENCH_MODE=<name> overrides the default mode; BENCH_BATCH, BENCH_CHAIN,
+BENCH_REPS as before.
 """
 
 import json
@@ -29,63 +34,70 @@ import numpy as np
 
 BASELINE_TARGET_IPS = 500.0  # BASELINE.json: >=500 images/sec/chip
 
+# mode name -> (sr precision, border band, classifier path, fidelity class)
+MODES = {
+    # gated fast modes (protocol-scale vote-agreement gate: GATE.json)
+    "int8_sr_noborder_shared_trunk_int8": dict(
+        sr="int8", border=False, clf="shared_trunk_int8",
+        fidelity="classify-only: SR image not faithful (no border band; "
+                 "PSNR vs f32 SR below the 35 dB bound — GATE.json)"),
+    "int8_sr_shared_trunk_int8": dict(
+        sr="int8", border=True, clf="shared_trunk_int8",
+        fidelity="gated votes; SR image PSNR vs f32 SR recorded in GATE.json"),
+    "int8_sr_per_patch_int8": dict(
+        sr="int8", border=True, clf="per_patch_int8",
+        fidelity="gated votes; reference patch protocol, int8 numerics"),
+    "bf16": dict(
+        sr="bf16", border=True, clf="per_patch_bf16",
+        fidelity="bf16 numerics, exact protocol and graph"),
+    "f32_parity": dict(
+        sr="f32", border=True, clf="per_patch_f32",
+        fidelity="bitwise reference-comparable path "
+                 "(logit parity: tests/test_keras_import.py)"),
+}
+DEFAULT_MODE = "int8_sr_noborder_shared_trunk_int8"
 
-def main():
+
+def build_chain(mode_cfg, sr_params, clf_params_f32, lr_hw, scale, patch,
+                stride, n_chain):
+    """Compile one serving mode's chained pipeline; returns (fn, batch_size).
+
+    int8 modes run batch 128; the f32/bf16 patch tensors are 4x larger, so
+    those paths run batch 64 (the 128-batch patch tensor alone would exceed
+    the chip's 15.75G HBM).
+    """
     import jax
     import jax.numpy as jnp
 
-    from tpusr.models import EDSR, VGG16Classifier
-    from tpusr.models.edsr_fast import make_fused_sr_apply
-    from tpusr.models.layers import pixel_shuffle
     from tpusr.core.pad import pad_amounts
     from tpusr.core.patches import patchify, patch_grid_size
+    from tpusr.models import VGG16Classifier
+    from tpusr.models.edsr_fast import make_fused_sr_apply
+    from tpusr.models.layers import pixel_shuffle
     from tpusr.pipeline.defect_pipeline import _vote
 
-    use_int8 = os.environ.get("BENCH_INT8", "1") == "1"
-    # int8 EDSR (PTQ, mixed-precision trunk): 1.57x on the body convs
-    # (PERF.md round 3); rides the same serving-gate standard as the
-    # classifier int8 path. BENCH_SR_INT8=0 keeps the bf16 SR stage.
-    use_sr_int8 = os.environ.get("BENCH_SR_INT8", "1" if use_int8 else "0") == "1"
-    # Shared-trunk classifier: ONE full-image VGG16 trunk + pool-aligned
-    # patch GAP extraction instead of 100 per-patch forwards (~2.9x fewer
-    # MACs; tpusr/models/vgg_trunk.py). Same vote protocol; conv borders see
-    # real context instead of per-patch zero pad — serving default since the
-    # protocol-scale gate passed (GATE.json: 100% vote agreement on trained
-    # weights at 512x512/96/48; tpusr.tools.serving_gate).
-    use_shared_trunk = (os.environ.get("BENCH_SHARED_TRUNK", "1") == "1"
-                        and use_int8)
-    # bf16/f32 classifier patches are 4x the int8 ones: batch 128 needs
-    # ~28 G HBM of the chip's 15.75 G, so the non-int8 paths default lower
-    batch = int(os.environ.get("BENCH_BATCH", "128" if use_int8 else "64"))
-    n_chain = int(os.environ.get("BENCH_CHAIN", "3"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
-    lr_hw = (128, 128)
-    scale = 4
-    patch, stride = 96, 48
-    dtype = jnp.bfloat16 if os.environ.get("BENCH_BF16", "1") == "1" else jnp.float32
-
-    sr_model = EDSR(scale_factor=scale)
+    int8_clf = mode_cfg["clf"].endswith("int8")
+    batch = int(os.environ.get("BENCH_BATCH", "128" if int8_clf else "64"))
     clf_model = VGG16Classifier(num_classes=2)
-    sv = jax.tree.map(lambda a: a.astype(dtype),
-                      sr_model.init(jax.random.PRNGKey(0),
-                                    jnp.zeros((1, *lr_hw, 3), jnp.float32)))
-    cv_full = clf_model.init(jax.random.PRNGKey(1),
-                             jnp.zeros((1, patch, patch, 3), jnp.float32))
-    if use_int8:
+
+    qtree = None
+    if int8_clf:
         from tpusr.models.quant import (calibrate_vgg16, quantize_vgg16,
-                                        quantized_vgg16_apply, quantize_input)
+                                        quantize_input, quantized_vgg16_apply)
         calib = np.random.default_rng(2).random((16, patch, patch, 3),
                                                 dtype=np.float32)
-        qtree = quantize_vgg16(cv_full["params"],
-                               calibrate_vgg16(cv_full["params"], calib))
+        qtree = quantize_vgg16(clf_params_f32,
+                               calibrate_vgg16(clf_params_f32, calib))
         # quantize BEFORE patchify: the patch tensor (the pipeline's largest
         # intermediate) shrinks 4x
         pre_quant = lambda sr: quantize_input(qtree, sr)
         clf_apply = lambda p: quantized_vgg16_apply(qtree, p)
     else:
-        cv = jax.tree.map(lambda a: a.astype(dtype), cv_full)
+        dtype = jnp.bfloat16 if mode_cfg["clf"].endswith("bf16") else jnp.float32
+        cv = jax.tree.map(lambda a: a.astype(dtype), clf_params_f32)
         pre_quant = lambda sr: sr.astype(dtype)
-        clf_apply = lambda p: clf_model.apply(cv, p.astype(dtype)).astype(jnp.float32)
+        clf_apply = lambda p: clf_model.apply(
+            {"params": cv}, p.astype(dtype)).astype(jnp.float32)
 
     hr = lr_hw[0] * scale
     pad_h, pad_w = pad_amounts(hr, hr, patch, stride)
@@ -95,27 +107,27 @@ def main():
     # final conv) has no nonlinearities, so it collapses into ONE composed
     # conv in polyphase space (5.6x fewer tail FLOPs, zero shuffle-relayout
     # copies; exact incl. borders — tests/test_edsr_fast.py). The interleave
-    # runs after int8 quantization (3-channel, ~50x fewer bytes).
-    if use_sr_int8:
+    # runs after quantization (3-channel, far fewer bytes).
+    if mode_cfg["sr"] == "int8":
         from tpusr.models.edsr_quant import make_fused_sr_apply_int8
         calib_lr = jnp.asarray(np.random.default_rng(3).random(
             (4, *lr_hw, 3), dtype=np.float32))
-        # border_correction=False is the serving default: gated in
-        # GATE.json (100% vote agreement, conf drift unchanged); the
-        # chained-tail border band costs ~14.5 ms/iter. BENCH_SR_BORDER=1
-        # restores the exact EDSR.apply border semantics.
         sr_fused, r_last = make_fused_sr_apply_int8(
-            sv["params"], scale, sample_lr=calib_lr,
-            border_correction=os.environ.get("BENCH_SR_BORDER", "0") == "1")
+            sr_params, scale, sample_lr=calib_lr,
+            border_correction=mode_cfg["border"])
     else:
-        sr_fused, r_last = make_fused_sr_apply(sv["params"], scale, dtype=dtype)
+        dt = jnp.bfloat16 if mode_cfg["sr"] == "bf16" else jnp.float32
+        sp = jax.tree.map(lambda a: a.astype(dt), sr_params)
+        sr_fused, r_last = make_fused_sr_apply(sp, scale, dtype=dt)
+
+    use_shared = mode_cfg["clf"].startswith("shared_trunk")
 
     def one_iter(x):
         sr_p = sr_fused(x)                  # (N, 128, 128, scale^2*3), [0,1]
         srq_p = pre_quant(sr_p)
         srq = pixel_shuffle(srq_p, r_last)  # int8 interleave: 3 channels
 
-        if use_shared_trunk:
+        if use_shared:
             from tpusr.models.vgg_trunk import shared_trunk_probs_int8
             probs = shared_trunk_probs_int8(qtree, srq, patch, stride)
         else:
@@ -137,30 +149,75 @@ def main():
 
     chain = jax.jit(lambda x: jax.lax.fori_loop(
         0, n_chain, lambda i, z: one_iter(z), x))
+    return chain, batch
+
+
+def measure(chain, batch, lr_hw, n_chain, reps):
+    import jax.numpy as jnp
 
     lr_batch = jnp.asarray(
         np.random.default_rng(0).random((batch, *lr_hw, 3), dtype=np.float32))
-
     # hard sync: on the axon tunnel, block_until_ready can return before the
     # TPU finishes (observed: chained train steps "measured" 30x past peak
     # FLOPs); a one-element device->host transfer is an unambiguous barrier.
     hard_sync = lambda a: np.asarray(a[0, 0, 0, 0])
-
     out = chain(lr_batch)           # warm-up / compile
     hard_sync(out)
-
     t0 = time.perf_counter()
     for _ in range(reps):
         out = chain(out)
     hard_sync(out)
     dt = time.perf_counter() - t0
-    ips = batch * n_chain * reps / dt
+    return batch * n_chain * reps / dt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tpusr.models import EDSR, VGG16Classifier
+
+    default_mode = os.environ.get("BENCH_MODE", DEFAULT_MODE)
+    if default_mode not in MODES:
+        raise SystemExit(f"BENCH_MODE={default_mode!r} unknown; "
+                         f"choose from {sorted(MODES)}")
+    frontier_on = os.environ.get("BENCH_FRONTIER", "1") == "1"
+    n_chain = int(os.environ.get("BENCH_CHAIN", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    lr_hw = (128, 128)
+    scale = 4
+    patch, stride = 96, 48
+
+    sr_model = EDSR(scale_factor=scale)
+    clf_model = VGG16Classifier(num_classes=2)
+    sv = sr_model.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, *lr_hw, 3), jnp.float32))["params"]
+    cv = clf_model.init(jax.random.PRNGKey(1),
+                        jnp.zeros((1, patch, patch, 3), jnp.float32))["params"]
+
+    mode_names = list(MODES) if frontier_on else [default_mode]
+    frontier, value = [], None
+    for name in mode_names:
+        chain, batch = build_chain(MODES[name], sv, cv, lr_hw, scale, patch,
+                                   stride, n_chain)
+        ips = measure(chain, batch, lr_hw, n_chain, reps)
+        row = {"mode": name, "images_per_sec": round(ips, 2), "batch": batch,
+               "fidelity": MODES[name]["fidelity"],
+               "vs_baseline": round(ips / BASELINE_TARGET_IPS, 4)}
+        frontier.append(row)
+        if name == default_mode:
+            value = ips
+        print(f"# {name}: {ips:.2f} img/s", file=sys.stderr, flush=True)
+        del chain
+        jax.clear_caches()  # 5 modes x big graphs: don't stack executables
 
     print(json.dumps({
         "metric": "images_per_sec_per_chip_e2e_4x_sr_classify_128",
-        "value": round(ips, 2),
+        "value": round(value, 2),
         "unit": "images/sec",
-        "vs_baseline": round(ips / BASELINE_TARGET_IPS, 4),
+        "vs_baseline": round(value / BASELINE_TARGET_IPS, 4),
+        "default_mode": default_mode,
+        "frontier": frontier,
     }))
 
 

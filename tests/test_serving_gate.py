@@ -5,11 +5,70 @@ keeps the harness runnable end-to-end on the CPU mesh)."""
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow  # trains real-size VGG16/EDSR briefly
+from tpusr.tools.serving_gate import (TASKS, _compare, aggregate_runs,
+                                      make_surface_images, run_gate)
 
-from tpusr.tools.serving_gate import make_surface_images, run_gate
+
+# ------------------------- fast, pure-python layers (no training, no jit)
+def _mode(name, va, flips, maxd, passes, faithful=None):
+    m = {"mode": name, "vote_agreement": va, "flips": flips,
+         "mean_abs_conf_drift": maxd / 2, "max_abs_conf_drift": maxd,
+         "accuracy": 0.9, "pred_class1_frac": 0.5, "boundary_images": 3,
+         "boundary_vote_agreement": va, "passes_gate": passes}
+    if faithful is not None:
+        m["image_faithful"] = faithful
+    return m
 
 
+def test_aggregate_runs_pass_requires_every_seed():
+    runs = [
+        {"seed": 0, "protocol": {"images": 128}, "reference_accuracy": 0.92,
+         "reference_boundary_images": 10,
+         "modes": [_mode("a", 1.0, 0, 0.05, True, faithful=True),
+                   _mode("b", 1.0, 0, 0.02, True)]},
+        {"seed": 1, "protocol": {"images": 128}, "reference_accuracy": 0.90,
+         "reference_boundary_images": 14,
+         "modes": [_mode("a", 0.98, 3, 0.30, False, faithful=False),
+                   _mode("b", 0.992, 1, 0.04, True)]},
+    ]
+    agg = aggregate_runs(runs)
+    assert agg["seeds"] == [0, 1] and agg["images_total"] == 256
+    assert agg["reference_boundary_images_total"] == 24
+    by = {m["mode"]: m for m in agg["modes"]}
+    # mode a fails on seed 1 -> fails overall, despite passing seed 0
+    assert not by["a"]["passes_gate_all_seeds"]
+    assert by["a"]["min_vote_agreement"] == 0.98
+    assert by["a"]["total_flips"] == 3
+    assert by["a"]["max_abs_conf_drift"] == 0.30
+    assert by["a"]["image_faithful_all_seeds"] is False
+    assert by["b"]["passes_gate_all_seeds"]
+    assert "image_faithful_all_seeds" not in by["b"]  # serves f32 SR
+
+
+def test_compare_reports_boundary_slice():
+    ref_cls = np.array([0, 1, 0, 1])
+    ref_conf = np.array([0.99, 0.60, 0.95, 0.55])  # 2 boundary (<0.65)
+    cls = np.array([0, 0, 0, 1])                   # one flip, at a boundary
+    conf = np.array([0.99, 0.58, 0.90, 0.70])
+    labels = np.array([0, 1, 0, 1])
+    m = _compare("x", ref_cls, ref_conf, cls, conf, labels)
+    assert m["flips"] == 1 and m["vote_agreement"] == 0.75
+    assert m["boundary_images"] == 2
+    assert m["boundary_vote_agreement"] == 0.5
+    assert m["accuracy"] == 0.75
+
+
+def test_task_presets():
+    assert set(TASKS) == {"easy", "hard"}
+    for t in TASKS.values():
+        lo, hi = t["amp_range"]
+        assert 0.0 <= lo < hi and t["noise"] > 0
+    # hard must overlap the undetectable regime; easy must not
+    assert TASKS["hard"]["amp_range"][0] < 0.04 < TASKS["easy"]["amp_range"][0]
+
+
+# ------------------------------ slow: real training through the harness
+@pytest.mark.slow
 def test_surface_dataset_is_discriminative_and_balanced():
     img, labels = make_surface_images(0, 8, 128)
     img, labels = np.asarray(img), np.asarray(labels)
@@ -24,6 +83,7 @@ def test_surface_dataset_is_discriminative_and_balanced():
     assert ring[labels == 1].mean() > 1.3 * ring[labels == 0].mean()
 
 
+@pytest.mark.slow
 def test_gate_harness_end_to_end_smoke():
     # one non-int8-SR mode + one int8-SR mode: exercises both the skipped
     # and built int8-SR-variant branches of run_gate's lazy construction
@@ -33,9 +93,16 @@ def test_gate_harness_end_to_end_smoke():
     assert rep["protocol"]["patch"] == 96 and rep["protocol"]["stride"] == 48
     assert {m["mode"] for m in rep["modes"]} == set(modes)
     for m in rep["modes"]:
-        assert set(m) >= {"vote_agreement", "mean_abs_conf_drift", "accuracy",
-                          "pred_class1_frac", "passes_gate"}
+        assert set(m) >= {"vote_agreement", "flips", "mean_abs_conf_drift",
+                          "accuracy", "pred_class1_frac", "passes_gate",
+                          "boundary_images"}
     assert "meaningful" in rep
     # only the requested int8-SR variant was built and measured
     assert rep["psnr_int8_noborder_sr_vs_f32_sr_db"] is not None
+    assert rep["ssim_int8_noborder_sr_vs_f32_sr"] is not None
     assert rep["psnr_int8_sr_vs_f32_sr_db"] is None
+    # the SR-modifying mode carries the image-fidelity verdict
+    nb = next(m for m in rep["modes"]
+              if m["mode"] == "int8_sr_noborder_shared_trunk_int8")
+    assert "sr_psnr_vs_f32_db" in nb and "image_faithful" in nb
+    assert rep["gate_standard"]["min_image_faithful_psnr_db"] == 35.0

@@ -11,8 +11,9 @@ stride 48, 100-patch majority vote — on REAL trained weights:
    shape, preprocessing_functions.ipynb cells 3/6);
 2. trains a full-size VGG16 classifier on 96x96 HR crops and an EDSR x4
    on aligned LR/HR crops (real architectures, brief on-device training);
-3. runs the six serving configurations over N protocol images and reports
-   patch-vote agreement, confidence drift, accuracy, and SR PSNR drift.
+3. runs the seven serving configurations over N protocol images and reports
+   patch-vote agreement, confidence drift, accuracy, and SR PSNR/SSIM drift
+   (an SR-modifying mode is "image_faithful" only >= 35 dB vs f32 SR).
 
 Everything — dataset, crop pools, SR outputs, patch probabilities — stays
 DEVICE-RESIDENT; only scalars and (N,)-vectors cross the host boundary.
@@ -40,10 +41,19 @@ PATCH, STRIDE = 96, 48
 
 
 # --------------------------------------------------------------- dataset
-def make_surface_images(seed: int, n: int, size: int = 512):
+def make_surface_images(seed: int, n: int, size: int = 512,
+                        amp_range=(0.12, 0.25), noise: float = 0.01):
     """Synthetic print-surface dataset: class 0 = smooth extrusion, class 1 =
     periodic ridge stripes (z-offset defect look). Returns DEVICE arrays
-    (hr [n,s,s,3] float32 [0,1], labels [n] int32), balanced and shuffled."""
+    (hr [n,s,s,3] float32 [0,1], labels [n] int32), balanced and shuffled.
+
+    ``amp_range``/``noise`` set the task DIFFICULTY: per-image stripe
+    amplitude is uniform in ``amp_range``, so a range whose low end dips
+    below the effective noise floor yields defect images that are genuinely
+    undetectable — the trained f32 reference path then lands below 1.0
+    accuracy with real near-0.5-confidence boundary images, matching the
+    reference's ~0.92 operating point (VGG16.ipynb cell 8). Defaults keep
+    the original (easy, perfectly separable) round-3 task."""
     key = jax.random.PRNGKey(seed)
     ks = jax.random.split(key, 7)
     cells = size // 32 + 1
@@ -57,7 +67,8 @@ def make_surface_images(seed: int, n: int, size: int = 512):
         theta = jax.random.uniform(ks[1], (n,), minval=0.0, maxval=np.pi)
         period = jax.random.uniform(ks[2], (n,), minval=32.0, maxval=64.0)
         phase = jax.random.uniform(ks[3], (n,), minval=0.0, maxval=2 * np.pi)
-        amp = jax.random.uniform(ks[4], (n,), minval=0.12, maxval=0.25)
+        amp = jax.random.uniform(ks[4], (n,), minval=amp_range[0],
+                                 maxval=amp_range[1])
         yy, xx = jnp.mgrid[0:size, 0:size]
         proj = (xx[None] * jnp.cos(theta)[:, None, None]
                 + yy[None] * jnp.sin(theta)[:, None, None])
@@ -65,8 +76,8 @@ def make_surface_images(seed: int, n: int, size: int = 512):
                        + phase[:, None, None])
         stripe = (labels[:, None, None] * amp[:, None, None] * wave)[..., None]
         tint = jnp.asarray([1.0, 0.96, 0.9])
-        noise = jax.random.normal(ks[5], (n, size, size, 3)) * 0.01
-        img = jnp.clip((bg + stripe) * tint + noise, 0.0, 1.0)
+        nz = jax.random.normal(ks[5], (n, size, size, 3)) * noise
+        img = jnp.clip((bg + stripe) * tint + nz, 0.0, 1.0)
         order = jax.random.permutation(ks[6], n)
         return jnp.take(img, order, axis=0), jnp.take(labels, order, axis=0)
 
@@ -234,23 +245,41 @@ def _apply_sr(fn, r, lr_images: jnp.ndarray, chunk=16) -> jnp.ndarray:
 
 
 # ------------------------------------------------------------------ gate
+BOUNDARY_CONF = 0.65  # ref-confidence below this marks a "boundary" image
+
+
 def _compare(name, ref_cls, ref_conf, cls, conf, labels_h):
     agree = float((cls == ref_cls).mean())
-    return {
+    flips = int((cls != ref_cls).sum())
+    # boundary images: where the reference vote itself is least certain —
+    # the region where confidence drift can actually flip a decision
+    nearb = ref_conf < BOUNDARY_CONF
+    out = {
         "mode": name,
         "vote_agreement": agree,
+        "flips": flips,
         "mean_abs_conf_drift": float(np.abs(conf - ref_conf).mean()),
         "max_abs_conf_drift": float(np.abs(conf - ref_conf).max()),
         "accuracy": float((cls == labels_h).mean()),
         "pred_class1_frac": float((cls == 1).mean()),
+        "boundary_images": int(nearb.sum()),
     }
+    if nearb.any():
+        out["boundary_vote_agreement"] = float((cls[nearb]
+                                                == ref_cls[nearb]).mean())
+        out["boundary_max_abs_conf_drift"] = float(
+            np.abs(conf[nearb] - ref_conf[nearb]).max())
+    return out
 
 
 def run_gate(n_images=128, size=512, clf_steps=500, edsr_steps=600, seed=0,
-             verbose=True, mode_names=None):
+             verbose=True, mode_names=None, amp_range=(0.12, 0.25),
+             noise=0.01):
     """Train at protocol scale, evaluate all serving modes, return the gate
-    report dict (also see GATE.json via main())."""
+    report dict (also see GATE.json via main()). ``amp_range``/``noise``
+    control task difficulty — see make_surface_images."""
     from tpusr.metrics.image import psnr as psnr_fn
+    from tpusr.metrics.image import ssim as ssim_fn
     from tpusr.models import VGG16Classifier
     from tpusr.models.edsr_fast import make_fused_sr_apply
     from tpusr.models.edsr_quant import make_fused_sr_apply_int8
@@ -269,9 +298,12 @@ def run_gate(n_images=128, size=512, clf_steps=500, edsr_steps=600, seed=0,
         if verbose:
             print(f"[gate {time.time() - t0:6.0f}s] {msg}", flush=True)
 
-    log(f"dataset: {n_train} train + {n_images} eval images ({size}x{size})")
-    hr_train, y_train = make_surface_images(seed, n_train, size)
-    hr_eval, y_eval_dev = make_surface_images(seed + 1, n_images, size)
+    log(f"dataset: {n_train} train + {n_images} eval images ({size}x{size}) "
+        f"amp={amp_range} noise={noise}")
+    hr_train, y_train = make_surface_images(seed, n_train, size,
+                                            amp_range, noise)
+    hr_eval, y_eval_dev = make_surface_images(seed + 1, n_images, size,
+                                              amp_range, noise)
     y_eval = np.asarray(y_eval_dev)
 
     log(f"training VGG16 classifier ({clf_steps} steps)...")
@@ -288,8 +320,9 @@ def run_gate(n_images=128, size=512, clf_steps=500, edsr_steps=600, seed=0,
     # cheap harness smoke (mode_names subset) must not pay two full int8 SR
     # passes + calibration it never reads
     want = (lambda n: mode_names is None or n in mode_names)
-    need_int8_sr = want("int8_sr_f32_per_patch") or want(
-        "int8_sr_shared_trunk_int8")
+    need_int8_sr = (want("int8_sr_f32_per_patch")
+                    or want("int8_sr_per_patch_int8")
+                    or want("int8_sr_shared_trunk_int8"))
     need_int8_sr_nb = want("int8_sr_noborder_shared_trunk_int8")
 
     log("building SR variants...")
@@ -297,17 +330,26 @@ def run_gate(n_images=128, size=512, clf_steps=500, edsr_steps=600, seed=0,
     sr_f32 = _apply_sr(f32_fn, r, lr_eval)
     sr_int8 = sr_int8_nb = None
     psnr_sr_drift = psnr_sr_nb_drift = None
+    ssim_sr_drift = ssim_sr_nb_drift = None
+
+    def _sr_drift(variant):
+        # mean PSNR/SSIM of the variant's SR image vs the f32 SR image —
+        # chunked jits, everything device-resident, only 2 scalars out
+        ps = float(jnp.mean(psnr_fn(sr_f32, variant)))
+        ss = float(jnp.mean(jax.jit(ssim_fn)(sr_f32, variant)))
+        return ps, ss
+
     if need_int8_sr:
         q_fn, _ = make_fused_sr_apply_int8(edsr_params, scale,
                                            sample_lr=lr_eval[:4])
         sr_int8 = _apply_sr(q_fn, r, lr_eval)
-        psnr_sr_drift = float(jnp.mean(psnr_fn(sr_f32, sr_int8)))
+        psnr_sr_drift, ssim_sr_drift = _sr_drift(sr_int8)
     if need_int8_sr_nb:
         q_fn_nb, _ = make_fused_sr_apply_int8(edsr_params, scale,
                                               sample_lr=lr_eval[:4],
                                               border_correction=False)
         sr_int8_nb = _apply_sr(q_fn_nb, r, lr_eval)
-        psnr_sr_nb_drift = float(jnp.mean(psnr_fn(sr_f32, sr_int8_nb)))
+        psnr_sr_nb_drift, ssim_sr_nb_drift = _sr_drift(sr_int8_nb)
 
     # classifier variants
     model = VGG16Classifier(num_classes=2)
@@ -321,12 +363,17 @@ def run_gate(n_images=128, size=512, clf_steps=500, edsr_steps=600, seed=0,
     report = {
         "protocol": {"images": n_images, "size": size, "patch": PATCH,
                      "stride": STRIDE,
-                     "patches_per_image": 100 if size == 512 else None},
+                     "patches_per_image": 100 if size == 512 else None,
+                     "amp_range": list(amp_range), "noise": noise},
         "training": {"clf_steps": clf_steps, "edsr_steps": edsr_steps,
                      "clf_final_train_acc": train_acc},
+        "seed": seed,
         "reference_accuracy": float((ref_cls == y_eval).mean()),
+        "reference_boundary_images": int((ref_conf < BOUNDARY_CONF).sum()),
         "psnr_int8_sr_vs_f32_sr_db": psnr_sr_drift,
         "psnr_int8_noborder_sr_vs_f32_sr_db": psnr_sr_nb_drift,
+        "ssim_int8_sr_vs_f32_sr": ssim_sr_drift,
+        "ssim_int8_noborder_sr_vs_f32_sr": ssim_sr_nb_drift,
         "modes": [],
     }
 
@@ -343,6 +390,10 @@ def run_gate(n_images=128, size=512, clf_steps=500, edsr_steps=600, seed=0,
              sr_f32)),
         ("int8_sr_f32_per_patch",
          lambda: per_patch_votes(f32_probs, sr_int8)),
+        # bench frontier mode: int8 SR + the reference patch protocol with
+        # int8 numerics (no shared trunk)
+        ("int8_sr_per_patch_int8",
+         lambda: per_patch_votes(int8_probs, sr_int8)),
         ("int8_sr_shared_trunk_int8",
          lambda: shared_trunk_votes(
              lambda b: shared_trunk_probs_int8(qtree, b, PATCH, STRIDE),
@@ -363,14 +414,78 @@ def run_gate(n_images=128, size=512, clf_steps=500, edsr_steps=600, seed=0,
         report["modes"].append(_compare(name, ref_cls, ref_conf, cls, conf,
                                         y_eval))
 
-    report["gate_standard"] = {"min_vote_agreement": 0.99,
-                               "min_reference_accuracy": 0.85}
+    report["gate_standard"] = {
+        "min_vote_agreement": 0.99,
+        "min_reference_accuracy": 0.85,
+        # an SR-image-modifying mode is "image_faithful" only if its SR
+        # output holds >= 35 dB vs the f32 SR image (EDSR_model.py:189-315:
+        # the SR image is a user deliverable, not just classifier input);
+        # below that the mode is classify-only
+        "min_image_faithful_psnr_db": 35.0,
+    }
     report["meaningful"] = (report["reference_accuracy"] >= 0.85
                             and 0.1 <= float((ref_cls == 1).mean()) <= 0.9)
     report["elapsed_sec"] = round(time.time() - t0, 1)
+    sr_psnr_of_mode = {  # which SR variant each mode serves (None = f32 SR)
+        "int8_sr_f32_per_patch": psnr_sr_drift,
+        "int8_sr_per_patch_int8": psnr_sr_drift,
+        "int8_sr_shared_trunk_int8": psnr_sr_drift,
+        "int8_sr_noborder_shared_trunk_int8": psnr_sr_nb_drift,
+    }
     for m in report["modes"]:
         m["passes_gate"] = m["vote_agreement"] >= 0.99
+        sr_psnr = sr_psnr_of_mode.get(m["mode"])
+        if sr_psnr is not None:
+            m["sr_psnr_vs_f32_db"] = sr_psnr
+            m["image_faithful"] = sr_psnr >= 35.0
     return report
+
+
+# calibrated so the trained f32 reference path lands near the reference's
+# real operating point (VGG16.ipynb cell 8: 0.9205) instead of the
+# perfectly-separable round-3 task: per-image amplitude dips below the
+# effective detection floor for a fraction of defect images
+TASKS = {
+    "easy": {"amp_range": (0.12, 0.25), "noise": 0.01},
+    "hard": {"amp_range": (0.0, 0.05), "noise": 0.02},
+}
+
+
+def aggregate_runs(runs):
+    """Cross-seed aggregation: a mode passes only if it clears the 99% vote
+    agreement bar on EVERY seed."""
+    by_mode = {}
+    for rep in runs:
+        for m in rep["modes"]:
+            by_mode.setdefault(m["mode"], []).append(m)
+    agg = {
+        "seeds": [r["seed"] for r in runs],
+        "images_total": sum(r["protocol"]["images"] for r in runs),
+        "reference_accuracy_per_seed": [r["reference_accuracy"]
+                                        for r in runs],
+        "reference_boundary_images_total": sum(
+            r["reference_boundary_images"] for r in runs),
+        "modes": [],
+    }
+    for name, ms in by_mode.items():
+        entry = {
+            "mode": name,
+            "min_vote_agreement": min(m["vote_agreement"] for m in ms),
+            "mean_vote_agreement": float(np.mean([m["vote_agreement"]
+                                                  for m in ms])),
+            "total_flips": sum(m["flips"] for m in ms),
+            "max_abs_conf_drift": max(m["max_abs_conf_drift"] for m in ms),
+            "passes_gate_all_seeds": all(m["passes_gate"] for m in ms),
+        }
+        bvals = [m["boundary_vote_agreement"] for m in ms
+                 if "boundary_vote_agreement" in m]
+        if bvals:
+            entry["min_boundary_vote_agreement"] = min(bvals)
+        if any("image_faithful" in m for m in ms):
+            entry["image_faithful_all_seeds"] = all(
+                m.get("image_faithful", True) for m in ms)
+        agg["modes"].append(entry)
+    return agg
 
 
 def main(argv=None):
@@ -379,14 +494,36 @@ def main(argv=None):
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--clf-steps", type=int, default=500)
     ap.add_argument("--edsr-steps", type=int, default=600)
-    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--seeds", default="0",
+                    help="comma-separated seeds; each gets its own dataset "
+                         "+ training + full mode matrix")
+    ap.add_argument("--task", choices=sorted(TASKS), default="easy",
+                    help="difficulty preset (hard ~= the reference's 0.92 "
+                         "operating point)")
+    ap.add_argument("--amp-lo", type=float, default=None)
+    ap.add_argument("--amp-hi", type=float, default=None)
+    ap.add_argument("--noise", type=float, default=None)
     ap.add_argument("--out", default="GATE.json")
     args = ap.parse_args(argv)
-    report = run_gate(args.images, args.size, args.clf_steps, args.edsr_steps,
-                      args.seed)
+    preset = TASKS[args.task]
+    amp = (preset["amp_range"][0] if args.amp_lo is None else args.amp_lo,
+           preset["amp_range"][1] if args.amp_hi is None else args.amp_hi)
+    noise = preset["noise"] if args.noise is None else args.noise
+    seeds = [int(s) for s in args.seeds.split(",")]
+
+    runs = []
+    for seed in seeds:
+        print(f"=== seed {seed} ===", flush=True)
+        runs.append(run_gate(args.images, args.size, args.clf_steps,
+                             args.edsr_steps, seed, amp_range=amp,
+                             noise=noise))
+    report = {"task": {"name": args.task, "amp_range": list(amp),
+                       "noise": noise},
+              "aggregate": aggregate_runs(runs), "runs": runs}
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
-    print(json.dumps(report, indent=2))
+    print(json.dumps({"task": report["task"],
+                      "aggregate": report["aggregate"]}, indent=2))
 
 
 if __name__ == "__main__":
