@@ -62,9 +62,30 @@ def test_task_presets():
     assert set(TASKS) == {"easy", "hard"}
     for t in TASKS.values():
         lo, hi = t["amp_range"]
-        assert 0.0 <= lo < hi and t["noise"] > 0
-    # hard must overlap the undetectable regime; easy must not
-    assert TASKS["hard"]["amp_range"][0] < 0.04 < TASKS["easy"]["amp_range"][0]
+        assert 0.0 < lo < hi and t["noise"] > 0
+        clo, chi = t["coverage_range"]
+        assert 0.0 < clo <= chi <= 1.0
+    # easy = full coverage (perfectly separable); hard dips well below the
+    # 50% vote threshold so some defect images get minority striped votes
+    assert TASKS["easy"]["coverage_range"] == (1.0, 1.0)
+    assert TASKS["hard"]["coverage_range"][0] < 0.5
+
+
+def test_partial_coverage_masks_stripes():
+    import jax.numpy as jnp
+    full, labels_f = make_surface_images(3, 8, 128, coverage_range=(1.0, 1.0))
+    part, labels_p = make_surface_images(3, 8, 128, coverage_range=(0.3, 0.4))
+    assert np.array_equal(np.asarray(labels_f), np.asarray(labels_p))
+    lab = np.asarray(labels_f)
+    # same PRNG stream: backgrounds/noise identical, only the stripe band
+    # differs -> class-1 images differ on a strict subset of pixels
+    df = np.abs(np.asarray(full) - np.asarray(part)).max(axis=(1, 2, 3))
+    assert (df[lab == 0] == 0).all()
+    changed = np.abs(np.asarray(full) - np.asarray(part)) > 1e-6
+    frac = changed.any(-1).mean(axis=(1, 2))
+    # low coverage: the partial image keeps stripes on <~half the area, so
+    # the diff region (masked-out stripes) covers a majority-but-not-all band
+    assert (frac[lab == 1] > 0.2).all() and (frac[lab == 1] < 0.95).all()
 
 
 # ------------------------------ slow: real training through the harness
