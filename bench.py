@@ -47,6 +47,23 @@ MODES = {
     "int8_sr_per_patch_int8": dict(
         sr="int8", border=True, clf="per_patch_int8",
         fidelity="gated votes; reference patch protocol, int8 numerics"),
+    # hard-gate certified (GATE_r04.json): exact f32 SR image + int8
+    # per-patch classifier — ZERO vote flips across every seed of both the
+    # easy and hard task matrices
+    "int8_per_patch": dict(
+        sr="f32", border=True, clf="per_patch_int8",
+        fidelity="hard-gate certified: f32 SR (image-faithful by "
+                 "construction), int8 per-patch votes, 0 flips on all "
+                 "GATE_r04.json seeds"),
+    # confidence cascade (tpusr/pipeline/cascade.py): shared-trunk int8
+    # votes, the BENCH_CASCADE_FRAC least-confident quarter of each batch
+    # escalated to the certified per-patch path; certified analytically per
+    # threshold in GATE_r04.json's derived cascade rows
+    "cascade_int8": dict(
+        sr="f32", border=True, clf="cascade_int8",
+        fidelity="hard-gate certified cascade: f32 SR, shared-trunk votes "
+                 "with top-25% low-confidence escalation to the certified "
+                 "per-patch int8 path (GATE_r04.json cascade rows)"),
     "bf16": dict(
         sr="bf16", border=True, clf="per_patch_bf16",
         fidelity="bf16 numerics, exact protocol and graph"),
@@ -55,7 +72,14 @@ MODES = {
         fidelity="bitwise reference-comparable path "
                  "(logit parity: tests/test_keras_import.py)"),
 }
-DEFAULT_MODE = "int8_sr_noborder_shared_trunk_int8"
+# Default = the fastest mode that passes the HARD-task gate on every seed
+# (GATE_r04.json, reference path at its real ~0.95 operating point). The
+# shared-trunk / int8-SR modes clear the easy task (GATE.json, 100%) but at
+# the hard operating point their boundary-image flips land at 96.9-97.9%
+# vote agreement — below the pre-registered 99% bar — so they are demoted
+# to frontier rows (accuracy is preserved: the flips are confined to images
+# where the reference vote itself is a near-coin-flip).
+DEFAULT_MODE = "int8_per_patch"
 
 
 def build_chain(mode_cfg, sr_params, clf_params_f32, lr_hw, scale, patch,
@@ -121,12 +145,23 @@ def build_chain(mode_cfg, sr_params, clf_params_f32, lr_hw, scale, patch,
         sr_fused, r_last = make_fused_sr_apply(sp, scale, dtype=dt)
 
     use_shared = mode_cfg["clf"].startswith("shared_trunk")
+    use_cascade = mode_cfg["clf"] == "cascade_int8"
+    if use_cascade:
+        from tpusr.pipeline.cascade import make_cascade_votes
+        cascade_votes = make_cascade_votes(
+            qtree, patch, stride,
+            escalate_frac=float(os.environ.get("BENCH_CASCADE_FRAC", "0.25")))
 
     def one_iter(x):
         sr_p = sr_fused(x)                  # (N, 128, 128, scale^2*3), [0,1]
         srq_p = pre_quant(sr_p)
         srq = pixel_shuffle(srq_p, r_last)  # int8 interleave: 3 channels
 
+        if use_cascade:
+            classes, confs = cascade_votes(srq)
+            nxt = (sr_p[..., :3].astype(jnp.float32)
+                   + confs[:, None, None, None] * 1e-6)
+            return nxt
         if use_shared:
             from tpusr.models.vgg_trunk import shared_trunk_probs_int8
             probs = shared_trunk_probs_int8(qtree, srq, patch, stride)

@@ -1,0 +1,191 @@
+"""Confidence-cascade serving mode tests (tpusr/pipeline/cascade.py).
+
+The cascade's contract: shared-trunk int8 votes, with the K least-confident
+images of each batch re-classified by the exact per-patch int8 path and
+served those votes instead. Both parents have independent exactness/parity
+tests (test_shared_trunk.py, test_quant.py); here we pin the MERGE itself:
+the selection (static top-K on trunk confidence), the scatter, and the
+full-escalation degenerate case (frac=1.0 must reproduce the per-patch path
+bit-for-bit). Trained-weight flip behavior at protocol scale is certified by
+the serving gate's derived cascade rows (GATE_r04.json).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpusr.core.pad import pad_amounts
+from tpusr.core.patches import patchify
+from tpusr.models import VGG16Classifier
+from tpusr.models.quant import (calibrate_vgg16, quantize_input,
+                                quantize_vgg16, quantized_vgg16_apply)
+from tpusr.models.vgg_trunk import shared_trunk_probs_int8
+from tpusr.pipeline.cascade import make_cascade_votes
+from tpusr.pipeline.defect_pipeline import _vote
+
+PATCH, STRIDE = 32, 16  # smallest trunk-legal geometry (stride%16, patch%32)
+HW = 64                 # 3x3 patch grid, zero pad
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    m = VGG16Classifier(num_classes=2, dropout_rate=0.0)
+    params = m.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, PATCH, PATCH, 3)))["params"]
+    calib = rng.random((4, PATCH, PATCH, 3)).astype(np.float32)
+    qtree = quantize_vgg16(params, calibrate_vgg16(params, calib))
+    imgs = jnp.asarray(rng.random((4, HW, HW, 3), dtype=np.float32))
+    return qtree, imgs
+
+
+def _per_patch_votes(qtree, imgs):
+    """The certified escalation target: exact per-patch int8 votes."""
+    h, w = imgs.shape[1:3]
+    pad_h, pad_w = pad_amounts(h, w, PATCH, STRIDE)
+
+    def per_image(img):
+        x = jnp.pad(img, ((0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
+        return patchify(x, PATCH, STRIDE)
+
+    patches = jax.vmap(per_image)(quantize_input(qtree, imgs))
+    flat = patches.reshape((-1,) + patches.shape[2:])
+    probs = quantized_vgg16_apply(qtree, flat)
+    probs = probs.reshape(imgs.shape[0], -1, probs.shape[-1])
+    return jax.vmap(_vote)(probs)
+
+
+def _trunk_votes(qtree, imgs):
+    probs = shared_trunk_probs_int8(qtree, imgs, PATCH, STRIDE)
+    return jax.vmap(_vote)(probs)
+
+
+@pytest.mark.slow  # ~190s: real int8 VGG16 trunk + per-patch compiles on CPU
+def test_full_escalation_equals_per_patch(setup):
+    qtree, imgs = setup
+    cls_c, conf_c = make_cascade_votes(qtree, PATCH, STRIDE,
+                                       escalate_frac=1.0)(imgs)
+    cls_p, conf_p = _per_patch_votes(qtree, imgs)
+    np.testing.assert_array_equal(np.asarray(cls_c), np.asarray(cls_p))
+    np.testing.assert_allclose(np.asarray(conf_c), np.asarray(conf_p),
+                               atol=1e-6)
+
+
+@pytest.mark.slow  # ~200s; the merge contract also has a fast stubbed twin
+def test_partial_escalation_merge_semantics(setup):
+    qtree, imgs = setup
+    cls_t, conf_t = map(np.asarray, _trunk_votes(qtree, imgs))
+    cls_p, conf_p = map(np.asarray, _per_patch_votes(qtree, imgs))
+    # k = round(4 * 0.5) = 2 least-trunk-confident images escalate
+    idx = np.argsort(conf_t, kind="stable")[:2]
+    want_cls, want_conf = cls_t.copy(), conf_t.copy()
+    want_cls[idx], want_conf[idx] = cls_p[idx], conf_p[idx]
+
+    cls_c, conf_c = make_cascade_votes(qtree, PATCH, STRIDE,
+                                       escalate_frac=0.5)(imgs)
+    np.testing.assert_array_equal(np.asarray(cls_c), want_cls)
+    np.testing.assert_allclose(np.asarray(conf_c), want_conf, atol=1e-6)
+
+
+@pytest.mark.slow  # ~150s: int8 CPU convs
+def test_accepts_prequantized_int8(setup):
+    qtree, imgs = setup
+    votes = make_cascade_votes(qtree, PATCH, STRIDE, escalate_frac=0.5)
+    a = votes(imgs)
+    b = votes(quantize_input(qtree, imgs))
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), atol=0)
+
+
+def test_escalate_frac_validation(setup):
+    qtree, _ = setup
+    with pytest.raises(ValueError):
+        make_cascade_votes(qtree, PATCH, STRIDE, escalate_frac=0.0)
+    with pytest.raises(ValueError):
+        make_cascade_votes(qtree, PATCH, STRIDE, escalate_frac=1.5)
+
+
+def test_merge_selection_fast(monkeypatch):
+    """Fast twin of the merge contract: stub both classifier parents with
+    fixed probability tables and pin the selection (static top-K on trunk
+    confidence), the routing of escalated patches, and the scatter — the
+    real-network exactness twins above are slow-marked."""
+    import tpusr.pipeline.cascade as casc
+
+    # 4 images, patch=stride=2 -> one 2x2 patch per image, zero pad
+    imgs = (jnp.arange(4 * 2 * 2 * 3, dtype=jnp.float32)
+            .reshape(4, 2, 2, 3) / 48.0)
+    img_means = imgs.mean(axis=(1, 2, 3))
+    # trunk vote confidences: 0.90, 0.60, 0.95, 0.55 -> k=2 escalates {1, 3}
+    trunk_probs = jnp.array([[[0.90, 0.10]], [[0.40, 0.60]],
+                             [[0.05, 0.95]], [[0.55, 0.45]]])
+    # per-patch parent disagrees with the trunk on every image
+    pp_table = jnp.array([[0.20, 0.80], [0.99, 0.01],
+                          [0.70, 0.30], [0.02, 0.98]])
+
+    def pp_apply(qtree, flat):
+        # identify which image each escalated patch came from by its mean
+        means = flat.mean(axis=(1, 2, 3))
+        idx = jnp.argmin(jnp.abs(means[:, None] - img_means[None, :]),
+                         axis=1)
+        return pp_table[idx]
+
+    monkeypatch.setattr(casc, "quantize_input", lambda q, x: x)
+    monkeypatch.setattr(casc, "shared_trunk_probs_int8",
+                        lambda q, x, p, s: trunk_probs)
+    monkeypatch.setattr(casc, "quantized_vgg16_apply", pp_apply)
+
+    cls_c, conf_c = make_cascade_votes({}, patch=2, stride=2,
+                                       escalate_frac=0.5)(imgs)
+    cls_t, conf_t = map(np.asarray, jax.vmap(_vote)(trunk_probs))
+    cls_p, conf_p = map(np.asarray,
+                        jax.vmap(_vote)(pp_table[:, None, :]))
+    want_cls, want_conf = cls_t.copy(), conf_t.copy()
+    esc = np.argsort(conf_t, kind="stable")[:2]
+    assert set(esc.tolist()) == {1, 3}
+    want_cls[esc], want_conf[esc] = cls_p[esc], conf_p[esc]
+    np.testing.assert_array_equal(np.asarray(cls_c), want_cls)
+    np.testing.assert_allclose(np.asarray(conf_c), want_conf, atol=1e-6)
+
+
+@pytest.mark.slow  # ~155s: compiles the full serving pipeline graph on CPU
+def test_serving_pipeline_cascade_mode(setup):
+    """make_serving_pipeline(clf_mode='cascade_int8') end-to-end: matches
+    cascade_votes applied to the same SR output."""
+    from tpusr.models import EDSR
+    from tpusr.models.edsr_fast import make_fused_sr_apply
+    from tpusr.models.layers import pixel_shuffle
+    from tpusr.pipeline import make_serving_pipeline
+
+    qtree, _ = setup
+    rng = np.random.default_rng(3)
+    sr_model = EDSR(scale_factor=2, num_res_blocks=1)
+    sv = sr_model.init(jax.random.PRNGKey(5),
+                       jnp.zeros((1, 32, 32, 3)))["params"]
+    clf_model = VGG16Classifier(num_classes=2, dropout_rate=0.0)
+    cv = clf_model.init(jax.random.PRNGKey(6),
+                        jnp.zeros((1, PATCH, PATCH, 3)))["params"]
+    calib = rng.random((4, PATCH, PATCH, 3)).astype(np.float32)
+
+    pipe = make_serving_pipeline(
+        sv, cv, lr_hw=(32, 32), scale=2, patch=PATCH, stride=STRIDE,
+        sr_mode="f32", clf_mode="cascade_int8", calib_patches=calib,
+        cascade_escalate_frac=0.5)
+    lr = rng.random((4, 32, 32, 3)).astype(np.float32)
+    sr, cls, conf = pipe(lr)
+
+    from tpusr.models.quant import calibrate_vgg16 as _cal
+    qt = quantize_vgg16(cv, _cal(cv, calib))
+    poly_fn, r = make_fused_sr_apply(sv, 2, dtype=jnp.float32)
+    sr_ref = pixel_shuffle(poly_fn(jnp.asarray(lr)), r).astype(jnp.float32)
+    # the pipeline fuses SR+cascade into one jit graph: FMA reordering moves
+    # the SR output by a few ulps vs the two-call composition (atol 1e-5)
+    np.testing.assert_allclose(np.asarray(sr), np.asarray(sr_ref), atol=1e-5)
+    # votes compared against cascade_votes on the pipeline's OWN SR output,
+    # so int8 quantization bins can't flip on ulp-level SR differences
+    want_cls, want_conf = make_cascade_votes(qt, PATCH, STRIDE, 0.5)(
+        jnp.asarray(np.asarray(sr)))
+    np.testing.assert_array_equal(np.asarray(cls), np.asarray(want_cls))
+    np.testing.assert_allclose(np.asarray(conf), np.asarray(want_conf),
+                               atol=1e-6)

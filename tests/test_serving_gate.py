@@ -5,7 +5,8 @@ keeps the harness runnable end-to-end on the CPU mesh)."""
 import numpy as np
 import pytest
 
-from tpusr.tools.serving_gate import (TASKS, _compare, aggregate_runs,
+from tpusr.tools.serving_gate import (CASCADE_THRESHOLDS, TASKS, _compare,
+                                      aggregate_runs, derive_cascade_modes,
                                       make_surface_images, run_gate)
 
 
@@ -56,6 +57,48 @@ def test_compare_reports_boundary_slice():
     assert m["boundary_images"] == 2
     assert m["boundary_vote_agreement"] == 0.5
     assert m["accuracy"] == 0.75
+
+
+def test_derive_cascade_modes_merge_and_unescalated_flips():
+    ref_cls = np.array([0, 1, 0, 1])
+    ref_conf = np.array([0.95, 0.55, 0.90, 0.60])
+    labels = np.array([0, 1, 0, 1])
+    # trunk: flips image 1 (low trunk conf 0.55 -> escalates at T>=0.60) and
+    # image 2 (HIGH trunk conf 0.95 -> never escalates: unescalated flip)
+    trunk = (np.array([0, 0, 1, 1]), np.array([0.95, 0.55, 0.95, 0.58]))
+    # per-patch parent: certified, agrees with the reference everywhere
+    pp = (ref_cls.copy(), ref_conf.copy())
+    rows = derive_cascade_modes(
+        {"shared_trunk_int8": trunk, "int8_per_patch": pp},
+        ref_cls, ref_conf, labels)
+    assert [r["mode"] for r in rows] == [f"cascade_int8@{t:.2f}"
+                                         for t in CASCADE_THRESHOLDS]
+    by = {r["mode"]: r for r in rows}
+    r60 = by["cascade_int8@0.60"]
+    # T=0.60 escalates images 1 (0.55) and 3 (0.58): image 1's flip is
+    # repaired, image 2's confident flip remains
+    assert r60["escalation_fraction"] == 0.5
+    assert r60["flips"] == 1 and r60["unescalated_flips"] == 1
+    r90 = by["cascade_int8@0.90"]  # escalates 1 and 3 only (0.95s stay)
+    assert r90["escalation_fraction"] == 0.5
+    assert r90["flips"] == 1 and r90["unescalated_flips"] == 1
+    # parents missing -> no derived rows
+    assert derive_cascade_modes({"int8_per_patch": pp}, ref_cls, ref_conf,
+                                labels) == []
+
+
+def test_aggregate_runs_cascade_escalation_stats():
+    base = _mode("cascade_int8@0.80", 1.0, 0, 0.05, True)
+    a = dict(base, escalation_fraction=0.10, unescalated_flips=0)
+    b = dict(base, escalation_fraction=0.22, unescalated_flips=1,
+             vote_agreement=0.99, passes_gate=True)
+    runs = [{"seed": s, "protocol": {"images": 128},
+             "reference_accuracy": 0.9, "reference_boundary_images": 5,
+             "modes": [m]} for s, m in ((0, a), (1, b))]
+    agg = aggregate_runs(runs)
+    m = agg["modes"][0]
+    assert m["max_escalation_fraction"] == 0.22
+    assert m["total_unescalated_flips"] == 1
 
 
 def test_task_presets():

@@ -596,6 +596,8 @@ def cmd_serve(args):
             imgs = []
             for f in files:
                 bgr = cv2.imread(f, cv2.IMREAD_COLOR)
+                if bgr is None:
+                    raise SystemExit(f"--calib-dir: unreadable image {f}")
                 if bgr.shape[:2] != lr_hw:
                     bgr = cv2.resize(bgr, lr_hw[::-1],
                                      interpolation=cv2.INTER_AREA)
@@ -625,13 +627,16 @@ def cmd_serve(args):
         patch=args.patch, stride=args.stride, sr_mode=args.sr_mode,
         clf_mode=args.clf_mode, calib_lr=calib_lr,
         calib_patches=calib_patches,
-        sr_border_correction=not args.no_border)
+        sr_border_correction=not args.no_border,
+        cascade_escalate_frac=args.cascade_frac)
 
     config = {"sr_mode": args.sr_mode, "clf_mode": args.clf_mode,
               "scale": args.scale, "patch": args.patch,
               "stride": args.stride, "batch_size": args.batch_size,
               "max_wait_ms": args.max_wait_ms,
               "border_correction": not args.no_border}
+    if args.clf_mode == "cascade_int8":
+        config["cascade_escalate_frac"] = args.cascade_frac
     with PipelineServer(pipe, batch_size=args.batch_size,
                         max_wait_ms=args.max_wait_ms) as server:
         # warm the FULL serving path (jit compile + pad/coalesce + worker
@@ -800,7 +805,12 @@ def main(argv=None):
                     choices=("f32", "bf16", "int8"))
     sp.add_argument("--clf-mode", default="shared_trunk_int8",
                     choices=("per_patch_f32", "per_patch_int8",
-                             "shared_trunk_f32", "shared_trunk_int8"))
+                             "shared_trunk_f32", "shared_trunk_int8",
+                             "cascade_int8"))
+    sp.add_argument("--cascade-frac", type=float, default=0.25,
+                    help="cascade_int8: fraction of each batch (the least-"
+                         "confident trunk votes) escalated to the exact "
+                         "per-patch int8 path (GATE_r04.json cascade rows)")
     sp.add_argument("--no-border", action="store_true",
                     help="drop the int8 SR border band (classify-only mode: "
                          "fastest, SR output not image-faithful — see "

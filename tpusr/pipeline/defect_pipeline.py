@@ -91,7 +91,7 @@ class FusedSRClassifyPipeline:
     def __init__(self, sr_apply, clf_apply=None, lr_hw: tuple[int, int] = None,
                  scale: int = None, patch: int = 96, stride: int | None = None,
                  mesh=None, classify_chunks: int = 1, pre_quant=None,
-                 trunk_probs=None):
+                 trunk_probs=None, cascade_votes=None):
         """classify_chunks > 1 runs the patchify+classify stage over image
         sub-batches via lax.map — same results, lower peak memory (the patch
         tensor is the pipeline's largest intermediate). `pre_quant` optionally
@@ -102,10 +102,19 @@ class FusedSRClassifyPipeline:
         `trunk_probs` replaces the per-patch classifier with a shared-trunk
         one: ``trunk_probs(images) -> (N, n_patches, classes)`` probs in the
         same row-major patch order (e.g. tpusr.models.vgg_trunk — one
-        full-image conv trunk, ~2.9x fewer MACs; serving-gated). Exactly one
-        of `clf_apply` / `trunk_probs` must be given."""
-        if (clf_apply is None) == (trunk_probs is None):
-            raise ValueError("pass exactly one of clf_apply / trunk_probs")
+        full-image conv trunk, ~2.9x fewer MACs; serving-gated).
+
+        `cascade_votes` replaces the classify+vote stage entirely:
+        ``cascade_votes(images) -> (classes, confidences)`` (e.g.
+        tpusr.pipeline.cascade — shared-trunk votes with static top-K
+        escalation of low-confidence images to the exact per-patch path).
+
+        Exactly one of `clf_apply` / `trunk_probs` / `cascade_votes` must be
+        given."""
+        if sum(x is not None
+               for x in (clf_apply, trunk_probs, cascade_votes)) != 1:
+            raise ValueError("pass exactly one of clf_apply / trunk_probs / "
+                             "cascade_votes")
         if lr_hw is None or scale is None:
             raise ValueError(
                 "lr_hw and scale are required (the pipeline compiles for one "
@@ -138,6 +147,9 @@ class FusedSRClassifyPipeline:
             sr = sr_apply(lr_batch)  # (N, hr_h, hr_w, 3)
             srq = pre_quant(sr) if pre_quant is not None else sr
             n = srq.shape[0]
+            if cascade_votes is not None:
+                classes, confs = cascade_votes(srq)
+                return sr, classes, confs
             if trunk_probs is not None:
                 probs = trunk_probs(srq)
             elif classify_chunks > 1:
@@ -190,7 +202,8 @@ def make_serving_pipeline(edsr_params, clf_params, lr_hw: tuple[int, int],
                           sr_mode: str = "int8",
                           clf_mode: str = "shared_trunk_int8",
                           calib_lr=None, calib_patches=None, mesh=None,
-                          sr_border_correction: bool = True):
+                          sr_border_correction: bool = True,
+                          cascade_escalate_frac: float = 0.25):
     """Production serving pipeline: trained EDSR + VGG16 params -> a
     ``FusedSRClassifyPipeline`` wired with the gated fast paths.
 
@@ -202,7 +215,12 @@ def make_serving_pipeline(edsr_params, clf_params, lr_hw: tuple[int, int],
     clf_mode: 'per_patch_f32' (reference parity path) | 'per_patch_int8'
               (needs ``calib_patches``) | 'shared_trunk_f32' |
               'shared_trunk_int8' — shared-trunk runs ONE full-image conv
-              trunk (~2.9x fewer MACs, tpusr.models.vgg_trunk).
+              trunk (~2.9x fewer MACs, tpusr.models.vgg_trunk) — |
+              'cascade_int8': shared-trunk votes with the
+              ``cascade_escalate_frac`` least-confident images of each batch
+              re-classified by the exact per-patch int8 path
+              (tpusr.pipeline.cascade; certified per threshold in
+              GATE_r04.json's derived cascade rows).
 
     Every non-parity mode is a serving mode in the int8 sense: validated at
     protocol scale by ``python -m tpusr.tools.serving_gate`` (>=99% vote
@@ -230,7 +248,7 @@ def make_serving_pipeline(edsr_params, clf_params, lr_hw: tuple[int, int],
 
     num_classes = int(clf_params["predictions"]["bias"].shape[0])
     model = VGG16Classifier(num_classes=num_classes)
-    clf_apply = trunk_probs = pre_quant = None
+    clf_apply = trunk_probs = cascade_votes = pre_quant = None
     if clf_mode.endswith("int8"):
         from tpusr.models.quant import (calibrate_vgg16, quantize_input,
                                         quantize_vgg16)
@@ -256,13 +274,18 @@ def make_serving_pipeline(edsr_params, clf_params, lr_hw: tuple[int, int],
 
         trunk_probs = lambda imgs: shared_trunk_probs_int8(
             qtree, imgs, patch, stride)
+    elif clf_mode == "cascade_int8":
+        from tpusr.pipeline.cascade import make_cascade_votes
+
+        cascade_votes = make_cascade_votes(
+            qtree, patch, stride, escalate_frac=cascade_escalate_frac)
     else:
         raise ValueError(f"unknown clf_mode {clf_mode!r}")
 
     return FusedSRClassifyPipeline(
         sr_apply, clf_apply=clf_apply, lr_hw=lr_hw, scale=scale, patch=patch,
         stride=stride, mesh=mesh, pre_quant=pre_quant,
-        trunk_probs=trunk_probs)
+        trunk_probs=trunk_probs, cascade_votes=cascade_votes)
 
 
 def run_defect_detection_comparison(sr_methods: dict, clf_apply, x_lr, x_hr, y,

@@ -264,6 +264,38 @@ def _apply_sr(fn, r, lr_images: jnp.ndarray, chunk=16) -> jnp.ndarray:
 
 # ------------------------------------------------------------------ gate
 BOUNDARY_CONF = 0.65  # ref-confidence below this marks a "boundary" image
+# trunk-confidence escalation thresholds certified for the serving cascade
+CASCADE_THRESHOLDS = (0.60, 0.70, 0.80, 0.90)
+
+
+def derive_cascade_modes(raw_votes, ref_cls, ref_conf, labels_h):
+    """Derived cascade rows (zero extra compute).
+
+    cascade = shared-trunk int8 votes, but any image whose TRUNK vote
+    confidence falls below T is escalated to the exact per-patch int8 path
+    (the hard-gate-certified mode, tpusr/pipeline/cascade.py). Both
+    parents' per-image votes are already computed by run_gate, so cascade(T)
+    is a pure numpy merge — this certifies the serving cascade at every
+    CASCADE_THRESHOLDS entry without re-running the networks.
+    """
+    if not ("shared_trunk_int8" in raw_votes and "int8_per_patch"
+            in raw_votes):
+        return []
+    cls_t, conf_t = raw_votes["shared_trunk_int8"]
+    cls_p, conf_p = raw_votes["int8_per_patch"]
+    out = []
+    for T in CASCADE_THRESHOLDS:
+        esc = conf_t < T
+        cls_c = np.where(esc, cls_p, cls_t)
+        conf_c = np.where(esc, conf_p, conf_t)
+        entry = _compare(f"cascade_int8@{T:.2f}", ref_cls, ref_conf,
+                         cls_c, conf_c, labels_h)
+        entry["escalation_fraction"] = float(esc.mean())
+        # flips remaining on NON-escalated images: the cascade's only
+        # failure channel (escalated images carry certified votes)
+        entry["unescalated_flips"] = int(((cls_c != ref_cls) & ~esc).sum())
+        out.append(entry)
+    return out
 
 
 def _compare(name, ref_cls, ref_conf, cls, conf, labels_h):
@@ -428,11 +460,26 @@ def run_gate(n_images=128, size=512, clf_steps=500, edsr_steps=600, seed=0,
     ]
     if mode_names is not None:  # subset for cheap harness smokes
         runs = [(n, f) for n, f in runs if n in mode_names]
+    raw_votes = {}
     for name, fn in runs:
         log(f"{name}...")
         cls, conf = fn()
+        raw_votes[name] = (np.asarray(cls), np.asarray(conf))
         report["modes"].append(_compare(name, ref_cls, ref_conf, cls, conf,
                                         y_eval))
+
+    report["modes"].extend(
+        derive_cascade_modes(raw_votes, ref_cls, ref_conf, y_eval))
+
+    # raw per-image votes (small: N ints + N floats per mode) so thresholds
+    # can be re-derived offline without re-training
+    report["raw_votes"] = {
+        "reference": {"cls": np.asarray(ref_cls).tolist(),
+                      "conf": np.round(np.asarray(ref_conf), 4).tolist()},
+        **{name: {"cls": c.tolist(),
+                  "conf": np.round(f, 4).tolist()}
+           for name, (c, f) in raw_votes.items()},
+    }
 
     report["gate_standard"] = {
         "min_vote_agreement": 0.99,
@@ -504,6 +551,11 @@ def aggregate_runs(runs):
                  if "boundary_vote_agreement" in m]
         if bvals:
             entry["min_boundary_vote_agreement"] = min(bvals)
+        if any("escalation_fraction" in m for m in ms):
+            entry["max_escalation_fraction"] = max(
+                m["escalation_fraction"] for m in ms)
+            entry["total_unescalated_flips"] = sum(
+                m["unescalated_flips"] for m in ms)
         if any("image_faithful" in m for m in ms):
             entry["image_faithful_all_seeds"] = all(
                 m.get("image_faithful", True) for m in ms)
@@ -528,6 +580,10 @@ def main(argv=None):
     ap.add_argument("--noise", type=float, default=None)
     ap.add_argument("--cov-lo", type=float, default=None)
     ap.add_argument("--cov-hi", type=float, default=None)
+    ap.add_argument("--modes", default=None,
+                    help="comma-separated mode subset (default: all); the "
+                         "derived cascade rows need both shared_trunk_int8 "
+                         "and int8_per_patch")
     ap.add_argument("--out", default="GATE.json")
     args = ap.parse_args(argv)
     preset = TASKS[args.task]
@@ -543,7 +599,9 @@ def main(argv=None):
         print(f"=== seed {seed} ===", flush=True)
         runs.append(run_gate(args.images, args.size, args.clf_steps,
                              args.edsr_steps, seed, amp_range=amp,
-                             noise=noise, coverage_range=cov))
+                             noise=noise, coverage_range=cov,
+                             mode_names=(args.modes.split(",")
+                                         if args.modes else None)))
     report = {"task": {"name": args.task, "amp_range": list(amp),
                        "noise": noise, "coverage_range": list(cov)},
               "aggregate": aggregate_runs(runs), "runs": runs}
