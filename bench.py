@@ -22,7 +22,10 @@ bf16 FLOPs, so >=500 img/s REQUIRES the algorithmic modes).
 
 Env knobs: BENCH_FRONTIER=0 measures only the default mode (fast smoke);
 BENCH_MODE=<name> overrides the default mode; BENCH_BATCH, BENCH_CHAIN,
-BENCH_REPS as before.
+BENCH_REPS as before. The default mode is measured FIRST and BENCH_BUDGET_S
+(default 3000) bounds the whole run: when the budget runs out, remaining
+frontier rows are emitted as {"skipped": true} instead of risking the
+driver's timeout on 7 cold compiles — the headline number always lands.
 """
 
 import json
@@ -56,14 +59,25 @@ MODES = {
                  "construction), int8 per-patch votes, 0 flips on all "
                  "GATE_r04.json seeds"),
     # confidence cascade (tpusr/pipeline/cascade.py): shared-trunk int8
-    # votes, the BENCH_CASCADE_FRAC least-confident quarter of each batch
-    # escalated to the certified per-patch path; certified analytically per
-    # threshold in GATE_r04.json's derived cascade rows
+    # votes, the BENCH_CASCADE_FRAC least-confident images of each batch
+    # escalated to the certified per-patch path. GATE_r04.json's derived
+    # cascade rows certify T=0.80 with ZERO flips on all seeds, but the
+    # below-0.80 confidence mass reaches 0.578 on the worst seed (whose
+    # trunk mis-ranks its flips at ranks 64-67/128) — so the certified
+    # static fraction is 0.625, not the 0.25 a calibrated model needs
     "cascade_int8": dict(
-        sr="f32", border=True, clf="cascade_int8",
-        fidelity="hard-gate certified cascade: f32 SR, shared-trunk votes "
-                 "with top-25% low-confidence escalation to the certified "
-                 "per-patch int8 path (GATE_r04.json cascade rows)"),
+        sr="f32", border=True, clf="cascade_int8", frac=0.625,
+        fidelity="hard-gate certified cascade at escalate_frac=0.625 "
+                 "(covers the worst seed's 0.578 below-T=0.80 mass, "
+                 "GATE_r04.json cascade rows) with NO per-model "
+                 "calibration assumed"),
+    "cascade_int8_calibrated": dict(
+        sr="f32", border=True, clf="cascade_int8", frac=0.25,
+        fidelity="cascade at escalate_frac=0.25 — certified for "
+                 "deployments whose trunk confidence is calibrated on "
+                 "held-out data (GATE_r04.json seeds 1-2 certify at "
+                 "0.27-0.36 below-T mass; the uncalibrated worst seed "
+                 "needs 0.625)"),
     "bf16": dict(
         sr="bf16", border=True, clf="per_patch_bf16",
         fidelity="bf16 numerics, exact protocol and graph"),
@@ -148,9 +162,13 @@ def build_chain(mode_cfg, sr_params, clf_params_f32, lr_hw, scale, patch,
     use_cascade = mode_cfg["clf"] == "cascade_int8"
     if use_cascade:
         from tpusr.pipeline.cascade import make_cascade_votes
-        cascade_votes = make_cascade_votes(
-            qtree, patch, stride,
-            escalate_frac=float(os.environ.get("BENCH_CASCADE_FRAC", "0.25")))
+        frac = float(os.environ.get("BENCH_CASCADE_FRAC",
+                                    str(mode_cfg["frac"])))
+        score = os.environ.get("BENCH_CASCADE_SCORE",
+                               mode_cfg.get("score", "conf"))
+        cascade_votes = make_cascade_votes(qtree, patch, stride,
+                                           escalate_frac=frac,
+                                           escalate_score=score)
 
     def one_iter(x):
         sr_p = sr_fused(x)                  # (N, 128, 128, scale^2*3), [0,1]
@@ -208,6 +226,14 @@ def measure(chain, batch, lr_hw, n_chain, reps):
 
 def main():
     import jax
+
+    # opt-in persistent compile cache (same knob as tests/conftest.py):
+    # the 7-mode frontier is compile-dominated on a cold run
+    _cache_dir = os.environ.get("TPUSR_COMPILE_CACHE")
+    if _cache_dir:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from tpusr.models import EDSR, VGG16Classifier
@@ -231,8 +257,19 @@ def main():
                         jnp.zeros((1, patch, patch, 3), jnp.float32))["params"]
 
     mode_names = list(MODES) if frontier_on else [default_mode]
+    # headline first: if the time budget dies mid-frontier, the default
+    # mode's number is already in hand
+    mode_names.sort(key=lambda n: n != default_mode)
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "3000"))
+    t_start = time.perf_counter()
     frontier, value = [], None
     for name in mode_names:
+        if name != default_mode and time.perf_counter() - t_start > budget_s:
+            frontier.append({"mode": name, "skipped": True,
+                             "fidelity": MODES[name]["fidelity"]})
+            print(f"# {name}: skipped (BENCH_BUDGET_S={budget_s:.0f} spent)",
+                  file=sys.stderr, flush=True)
+            continue
         chain, batch = build_chain(MODES[name], sv, cv, lr_hw, scale, patch,
                                    stride, n_chain)
         ips = measure(chain, batch, lr_hw, n_chain, reps)
@@ -244,7 +281,7 @@ def main():
             value = ips
         print(f"# {name}: {ips:.2f} img/s", file=sys.stderr, flush=True)
         del chain
-        jax.clear_caches()  # 5 modes x big graphs: don't stack executables
+        jax.clear_caches()  # 7 modes x big graphs: don't stack executables
 
     print(json.dumps({
         "metric": "images_per_sec_per_chip_e2e_4x_sr_classify_128",

@@ -104,6 +104,62 @@ def test_escalate_frac_validation(setup):
         make_cascade_votes(qtree, PATCH, STRIDE, escalate_frac=0.0)
     with pytest.raises(ValueError):
         make_cascade_votes(qtree, PATCH, STRIDE, escalate_frac=1.5)
+    with pytest.raises(ValueError):
+        make_cascade_votes(qtree, PATCH, STRIDE, escalate_score="margin")
+
+
+def test_vote_frac_selection_fast(monkeypatch):
+    """escalate_score='vote_frac' ranks by patch agreement (conf as exact
+    lexicographic tie-break), selecting DIFFERENT images than 'conf' when
+    a high-confidence image has disagreeing patches — the measured failure
+    shape of the worst GATE_r04 seed."""
+    import tpusr.pipeline.cascade as casc
+    from tpusr.tools.serving_gate import _lex_score
+
+    imgs = (jnp.arange(4 * 2 * 2 * 3, dtype=jnp.float32)
+            .reshape(4, 2, 2, 3) / 48.0)
+    img_means = imgs.mean(axis=(1, 2, 3))
+    # 4 patches per image. vote_frac: [0.5, 1.0, 0.75, 1.0];
+    # conf (mean winning prob): [0.55, 0.60, 0.70, 0.95]
+    # conf ranking escalates {0, 1}; vote_frac ranking escalates {0, 2}
+    trunk_probs = jnp.array([
+        [[0.9, 0.1], [0.2, 0.8], [0.4, 0.6], [0.7, 0.3]],   # split 2/2
+        [[0.4, 0.6], [0.45, 0.55], [0.35, 0.65], [0.4, 0.6]],  # unanimous
+        [[0.8, 0.2], [0.9, 0.1], [0.7, 0.3], [0.4, 0.6]],   # 3/1
+        [[0.05, 0.95], [0.05, 0.95], [0.05, 0.95], [0.05, 0.95]],
+    ])
+    pp_table = jnp.array([[0.2, 0.8], [0.99, 0.01],
+                          [0.3, 0.7], [0.98, 0.02]])
+
+    def pp_apply(qtree, flat):
+        means = flat.mean(axis=(1, 2, 3))
+        idx = jnp.argmin(jnp.abs(means[:, None] - img_means[None, :]),
+                         axis=1)
+        return pp_table[idx]
+
+    monkeypatch.setattr(casc, "quantize_input", lambda q, x: x)
+    monkeypatch.setattr(casc, "shared_trunk_probs_int8",
+                        lambda q, x, p, s: trunk_probs)
+    monkeypatch.setattr(casc, "quantized_vgg16_apply", pp_apply)
+
+    cls_t, conf_t = map(np.asarray, jax.vmap(_vote)(trunk_probs))
+    preds = np.asarray(jnp.argmax(trunk_probs, axis=-1))
+    vote_frac = (preds == cls_t[:, None]).mean(axis=1)
+    # patch=stride=1 on 2x2 images -> 4 patches, matching trunk_probs
+    lex = _lex_score(vote_frac, conf_t, 4)
+    esc = np.argsort(lex, kind="stable")[:2]
+    assert set(esc.tolist()) == {0, 2}
+    esc_conf = np.argsort(conf_t, kind="stable")[:2]
+    assert set(esc_conf.tolist()) == {0, 1}  # the two scores disagree
+
+    cls_p, conf_p = map(np.asarray, jax.vmap(_vote)(pp_table[:, None, :]))
+    want_cls, want_conf = cls_t.copy(), conf_t.copy()
+    want_cls[esc], want_conf[esc] = cls_p[esc], conf_p[esc]
+    cls_c, conf_c = make_cascade_votes(
+        {}, patch=1, stride=1, escalate_frac=0.5,
+        escalate_score="vote_frac")(imgs)
+    np.testing.assert_array_equal(np.asarray(cls_c), want_cls)
+    np.testing.assert_allclose(np.asarray(conf_c), want_conf, atol=1e-6)
 
 
 def test_merge_selection_fast(monkeypatch):

@@ -5,8 +5,10 @@ keeps the harness runnable end-to-end on the CPU mesh)."""
 import numpy as np
 import pytest
 
-from tpusr.tools.serving_gate import (CASCADE_THRESHOLDS, TASKS, _compare,
-                                      aggregate_runs, derive_cascade_modes,
+from tpusr.tools.serving_gate import (CASCADE_FRACS, CASCADE_THRESHOLDS,
+                                      TASKS, _compare, aggregate_runs,
+                                      cascade_rank_analysis,
+                                      derive_cascade_modes,
                                       make_surface_images, run_gate)
 
 
@@ -71,8 +73,8 @@ def test_derive_cascade_modes_merge_and_unescalated_flips():
     rows = derive_cascade_modes(
         {"shared_trunk_int8": trunk, "int8_per_patch": pp},
         ref_cls, ref_conf, labels)
-    assert [r["mode"] for r in rows] == [f"cascade_int8@{t:.2f}"
-                                         for t in CASCADE_THRESHOLDS]
+    assert [r["mode"] for r in rows[:len(CASCADE_THRESHOLDS)]] == [
+        f"cascade_int8@{t:.2f}" for t in CASCADE_THRESHOLDS]
     by = {r["mode"]: r for r in rows}
     r60 = by["cascade_int8@0.60"]
     # T=0.60 escalates images 1 (0.55) and 3 (0.58): image 1's flip is
@@ -85,6 +87,79 @@ def test_derive_cascade_modes_merge_and_unescalated_flips():
     # parents missing -> no derived rows
     assert derive_cascade_modes({"int8_per_patch": pp}, ref_cls, ref_conf,
                                 labels) == []
+    # without trunk_scores the static-frac rows still derive for 'conf'
+    assert [r["mode"] for r in rows if "@frac=" in r["mode"]] == [
+        f"cascade_int8[conf]@frac={f}" for f in CASCADE_FRACS]
+
+
+def test_derive_cascade_frac_rows_rank_by_score():
+    """The static top-K rows must escalate exactly the K lowest-scored
+    images per score — conf and vote_frac rank DIFFERENT images here, so
+    the rows repair different flips."""
+    ref_cls = np.array([0, 1, 0, 1])
+    ref_conf = np.array([0.9, 0.9, 0.9, 0.9])
+    labels = ref_cls
+    # trunk flips images 0 and 3. conf ranks image 3 lowest (0.51) but
+    # image 0 HIGH (0.80); vote_frac ranks image 0 lowest (0.4 patch
+    # agreement) and image 3 next (0.6) -> at frac=0.5 (k=2):
+    #   conf escalates {3, 1(0.70)} -> flip 0 survives
+    #   vote_frac escalates {0, 3} -> zero unescalated flips
+    trunk = (np.array([1, 1, 0, 0]), np.array([0.80, 0.70, 0.95, 0.51]))
+    scores = {"vote_frac": np.array([0.4, 0.9, 1.0, 0.6])}
+    pp = (ref_cls.copy(), ref_conf.copy())
+    rows = derive_cascade_modes(
+        {"shared_trunk_int8": trunk, "int8_per_patch": pp},
+        ref_cls, ref_conf, labels, trunk_scores=scores, n_patches=10)
+    by = {r["mode"]: r for r in rows}
+    assert by["cascade_int8[conf]@frac=0.5"]["unescalated_flips"] == 1
+    assert by["cascade_int8[vote_frac]@frac=0.5"]["unescalated_flips"] == 0
+    assert by["cascade_int8[vote_frac]@frac=0.5"]["flips"] == 0
+    # frac=0.25 (k=1) escalates only the single lowest: conf -> image 3,
+    # vote_frac -> image 0; one flip survives either way
+    assert by["cascade_int8[conf]@frac=0.25"]["unescalated_flips"] == 1
+    assert by["cascade_int8[vote_frac]@frac=0.25"]["unescalated_flips"] == 1
+
+
+def test_cascade_rank_analysis_flip_ranks():
+    ref_cls = np.array([0, 1, 0, 1])
+    trunk = (np.array([1, 1, 0, 0]),                # flips at 0 and 3
+             np.array([0.80, 0.70, 0.95, 0.51]))
+    scores = {"vote_frac": np.array([0.4, 0.9, 1.0, 0.6]),
+              "mean_margin": np.array([0.9, 0.8, 0.7, 0.6])}
+    out = cascade_rank_analysis({"shared_trunk_int8": trunk}, ref_cls,
+                                scores, n_patches=10)
+    assert out["trunk_flips"] == 2 and out["n_images"] == 4
+    s = out["scores"]
+    # conf ascending: [3(0.51), 1(0.70), 0(0.80), 2(0.95)] -> flips at 0, 2
+    assert s["conf"]["flip_ranks"] == [0, 2]
+    assert s["conf"]["min_zero_flip_escalation_frac"] == 0.75
+    # vote_frac lex ascending: [0(0.4), 3(0.6), 1(0.9), 2(1.0)] -> 0, 1
+    assert s["vote_frac+conf"]["flip_ranks"] == [0, 1]
+    assert s["vote_frac+conf"]["min_zero_flip_escalation_frac"] == 0.5
+    # mean_margin ascending: [3, 2, 1, 0] -> flips at ranks 0 and 3
+    assert s["mean_margin"]["flip_ranks"] == [0, 3]
+    assert s["mean_margin"]["min_zero_flip_escalation_frac"] == 1.0
+    # no trunk scores -> no analysis
+    assert cascade_rank_analysis({"shared_trunk_int8": trunk}, ref_cls,
+                                 None) is None
+
+
+def test_vote_scores_matches_numpy():
+    import jax
+    import jax.numpy as jnp
+
+    from tpusr.tools.serving_gate import _vote_scores
+
+    rng = np.random.default_rng(7)
+    p1 = rng.random((5, 100, 1)).astype(np.float32)
+    probs = np.concatenate([1.0 - p1, p1], axis=-1)
+    cls, conf, vf, mm = jax.vmap(_vote_scores)(jnp.asarray(probs))
+    preds = probs.argmax(-1)
+    for i in range(5):
+        want_vf = (preds[i] == int(cls[i])).mean()
+        want_mm = np.abs(probs[i, :, 1] - probs[i, :, 0]).mean()
+        np.testing.assert_allclose(float(vf[i]), want_vf, atol=1e-6)
+        np.testing.assert_allclose(float(mm[i]), want_mm, atol=1e-6)
 
 
 def test_aggregate_runs_cascade_escalation_stats():
@@ -99,6 +174,43 @@ def test_aggregate_runs_cascade_escalation_stats():
     m = agg["modes"][0]
     assert m["max_escalation_fraction"] == 0.22
     assert m["total_unescalated_flips"] == 1
+
+
+def test_gate_merge_grafts_new_modes_and_checks_shared():
+    from tpusr.tools.gate_merge import MergeError, merge_reports
+
+    def report(modes, seed=0, extra=None):
+        r = {"seed": seed, "protocol": {"images": 4}, "training": {"s": 1},
+             "reference_accuracy": 0.9, "reference_boundary_images": 1,
+             "modes": [dict(m) for m in modes]}
+        r.update(extra or {})
+        return r
+
+    shared = _mode("int8_per_patch", 1.0, 0, 0.01, True)
+    casc = dict(_mode("cascade_int8@0.80", 1.0, 0, 0.02, True),
+                escalation_fraction=0.1, unescalated_flips=0)
+    task = {"name": "hard"}
+    full = {"task": task, "runs": [report([shared])]}
+    sub = {"task": task,
+           "runs": [report([shared, casc],
+                           extra={"raw_votes": {"reference": {}}})]}
+    merged = merge_reports(full, sub)
+    assert [m["mode"] for m in merged["runs"][0]["modes"]] == [
+        "int8_per_patch", "cascade_int8@0.80"]
+    assert merged["runs"][0]["raw_votes"] == {"reference": {}}
+    assert merged["merged_from"][0]["modes_added"] == ["cascade_int8@0.80"]
+    agg = {m["mode"]: m for m in merged["aggregate"]["modes"]}
+    assert agg["cascade_int8@0.80"]["total_unescalated_flips"] == 0
+
+    # a shared mode that does NOT reproduce must refuse to merge
+    bad = dict(shared, flips=2, vote_agreement=0.5)
+    with pytest.raises(MergeError):
+        merge_reports({"task": task, "runs": [report([shared])]},
+                      {"task": task, "runs": [report([bad])]})
+    # task mismatch refuses
+    with pytest.raises(MergeError):
+        merge_reports({"task": {"name": "easy"}, "runs": []},
+                      {"task": task, "runs": []})
 
 
 def test_task_presets():

@@ -628,7 +628,8 @@ def cmd_serve(args):
         clf_mode=args.clf_mode, calib_lr=calib_lr,
         calib_patches=calib_patches,
         sr_border_correction=not args.no_border,
-        cascade_escalate_frac=args.cascade_frac)
+        cascade_escalate_frac=args.cascade_frac,
+        cascade_escalate_score=args.cascade_score)
 
     config = {"sr_mode": args.sr_mode, "clf_mode": args.clf_mode,
               "scale": args.scale, "patch": args.patch,
@@ -637,6 +638,7 @@ def cmd_serve(args):
               "border_correction": not args.no_border}
     if args.clf_mode == "cascade_int8":
         config["cascade_escalate_frac"] = args.cascade_frac
+        config["cascade_escalate_score"] = args.cascade_score
     with PipelineServer(pipe, batch_size=args.batch_size,
                         max_wait_ms=args.max_wait_ms) as server:
         # warm the FULL serving path (jit compile + pad/coalesce + worker
@@ -807,6 +809,11 @@ def main(argv=None):
                     choices=("per_patch_f32", "per_patch_int8",
                              "shared_trunk_f32", "shared_trunk_int8",
                              "cascade_int8"))
+    sp.add_argument("--cascade-score", choices=("conf", "vote_frac"),
+                    default="conf",
+                    help="cascade_int8: escalation ranking signal — trunk "
+                         "vote confidence or patch-agreement fraction "
+                         "(GATE_r04.json cascade_rank_analysis)")
     sp.add_argument("--cascade-frac", type=float, default=0.25,
                     help="cascade_int8: fraction of each batch (the least-"
                          "confident trunk votes) escalated to the exact "

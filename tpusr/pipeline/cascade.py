@@ -19,6 +19,17 @@ both parents' per-image votes at every threshold in CASCADE_THRESHOLDS and
 reports `unescalated_flips` plus the per-seed escalation fraction, so the
 static K here can be chosen with measured headroom (GATE_r04.json).
 
+Measured finding (GATE_r04.json raw_votes): T=0.80 certifies with ZERO
+flips on every hard-task seed, but the trunk's confidence is NOT uniformly
+well-ranked across trained models — one seed's trunk places its 4 flips at
+confidence ranks 64-67/128 (0.69-0.73, above its own median) even though
+they are the reference's 4 least-confident images, and 57.8% of its images
+sit below T=0.80. An uncalibrated deployment therefore needs
+``escalate_frac≈0.625``; models whose trunk confidence is well-calibrated
+(the other seeds) certify at 0.27-0.36. Calibrate per deployment: run the
+trunk on held-out data, set ``escalate_frac`` to the below-T mass at the
+gate-certified T plus margin.
+
 TPU-native shape discipline: K is static (top_k + gather + scatter inside
 one jit graph — no data-dependent shapes), so the whole cascade fuses into
 the serving pipeline's single compiled step.
@@ -36,21 +47,35 @@ from tpusr.models.vgg_trunk import shared_trunk_probs_int8
 
 
 def make_cascade_votes(qtree: dict, patch: int = 96, stride: int = 48,
-                       escalate_frac: float = 0.25):
+                       escalate_frac: float = 0.25,
+                       escalate_score: str = "conf"):
     """Build the cascade vote function for a quantized VGG16 tree.
 
     Returns ``votes(images) -> (classes, confidences)`` — jittable, static
     shapes. ``images``: (N, H, W, 3) [0,1] f32 or pre-quantized int8 from
     ``quantize_input``. Per trace, ``K = max(1, round(N * escalate_frac))``
-    lowest-trunk-confidence images are re-classified with the exact
-    per-patch int8 path (the GATE_r04-certified mode); the rest keep their
+    lowest-trunk-score images are re-classified with the exact per-patch
+    int8 path (the GATE_r04-certified mode); the rest keep their
     shared-trunk votes. Escalating a confident image is harmless (it can
     only receive the certified vote), so K needs only to EXCEED the gate's
     measured below-threshold fraction, not match it.
+
+    ``escalate_score`` ranks the batch for escalation:
+      'conf'       — `_vote`'s mean winning-class probability (round-4
+                     default before the rank analysis);
+      'vote_frac'  — fraction of patches agreeing with the final vote,
+                     conf as an exact lexicographic tie-break. Patch
+                     DISAGREEMENT is the direct signal of the conv-padding
+                     drift that flips votes; the gate's
+                     `cascade_rank_analysis` measures which score ranks
+                     real flips lower per seed (GATE_r04.json).
     """
     if not 0.0 < escalate_frac <= 1.0:
         raise ValueError(f"escalate_frac must be in (0, 1], got "
                          f"{escalate_frac}")
+    if escalate_score not in ("conf", "vote_frac"):
+        raise ValueError(f"escalate_score must be 'conf' or 'vote_frac', "
+                         f"got {escalate_score!r}")
     from tpusr.pipeline.defect_pipeline import _vote
 
     def votes(images: jnp.ndarray):
@@ -62,9 +87,18 @@ def make_cascade_votes(qtree: dict, patch: int = 96, stride: int = 48,
 
         probs_t = shared_trunk_probs_int8(qtree, images, patch, stride)
         cls_t, conf_t = jax.vmap(_vote)(probs_t)
+        if escalate_score == "vote_frac":
+            preds = jnp.argmax(probs_t, axis=-1)          # (N, n_patches)
+            agree = (preds == cls_t[:, None]).astype(jnp.float32)
+            # conf <= 1 scaled by half a 1/n_patches quantum: exactly
+            # lexicographic (vote_frac, conf) — mirrors the gate's
+            # _lex_score so certified fracs transfer
+            score = agree.mean(axis=1) + conf_t * (0.5 / (nh * nw))
+        else:
+            score = conf_t
 
         k = max(1, min(n, round(n * escalate_frac)))
-        _, idx = jax.lax.top_k(-conf_t, k)      # k least-confident images
+        _, idx = jax.lax.top_k(-score, k)       # k lowest-scored images
         sel = jnp.take(images, idx, axis=0)
 
         def per_image(img):

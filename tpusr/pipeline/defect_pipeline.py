@@ -203,7 +203,8 @@ def make_serving_pipeline(edsr_params, clf_params, lr_hw: tuple[int, int],
                           clf_mode: str = "shared_trunk_int8",
                           calib_lr=None, calib_patches=None, mesh=None,
                           sr_border_correction: bool = True,
-                          cascade_escalate_frac: float = 0.25):
+                          cascade_escalate_frac: float = 0.25,
+                          cascade_escalate_score: str = "conf"):
     """Production serving pipeline: trained EDSR + VGG16 params -> a
     ``FusedSRClassifyPipeline`` wired with the gated fast paths.
 
@@ -217,10 +218,12 @@ def make_serving_pipeline(edsr_params, clf_params, lr_hw: tuple[int, int],
               'shared_trunk_int8' — shared-trunk runs ONE full-image conv
               trunk (~2.9x fewer MACs, tpusr.models.vgg_trunk) — |
               'cascade_int8': shared-trunk votes with the
-              ``cascade_escalate_frac`` least-confident images of each batch
+              ``cascade_escalate_frac`` lowest-scored images of each batch
               re-classified by the exact per-patch int8 path
-              (tpusr.pipeline.cascade; certified per threshold in
-              GATE_r04.json's derived cascade rows).
+              (tpusr.pipeline.cascade; ``cascade_escalate_score`` in
+              {'conf', 'vote_frac'} picks the ranking signal — certified
+              per threshold/fraction/score in GATE_r04.json's derived
+              cascade rows and `cascade_rank_analysis`).
 
     Every non-parity mode is a serving mode in the int8 sense: validated at
     protocol scale by ``python -m tpusr.tools.serving_gate`` (>=99% vote
@@ -278,7 +281,8 @@ def make_serving_pipeline(edsr_params, clf_params, lr_hw: tuple[int, int],
         from tpusr.pipeline.cascade import make_cascade_votes
 
         cascade_votes = make_cascade_votes(
-            qtree, patch, stride, escalate_frac=cascade_escalate_frac)
+            qtree, patch, stride, escalate_frac=cascade_escalate_frac,
+            escalate_score=cascade_escalate_score)
     else:
         raise ValueError(f"unknown clf_mode {clf_mode!r}")
 

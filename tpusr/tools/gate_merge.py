@@ -1,0 +1,110 @@
+"""Merge serving-gate reports from subset ``--modes`` runs into a full one.
+
+``serving_gate --modes a,b`` re-runs the gate's training + a subset of the
+serving modes (plus any analytically derived rows, e.g. the cascade rows,
+and the raw per-image votes). Training is seeded and deterministic, so a
+subset run at the same (task, seed, images, steps) reproduces the full
+run's shared modes EXACTLY — this tool verifies that per seed (vote
+agreement, flip count, accuracy must match bit-for-bit; confidence drift to
+1e-6) and then grafts the subset run's new mode rows and ``raw_votes`` into
+the full artifact, recomputing the aggregate. The result is identical to
+what one long full-gate run would have produced, at the cost of only the
+subset's modes.
+
+Usage:
+    python -m tpusr.tools.gate_merge --full GATE_r04.json \
+        --subset GATE_r04_cascade.json --out GATE_r04.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+class MergeError(ValueError):
+    pass
+
+
+def _check_shared_mode(seed, full_m, sub_m):
+    for key in ("vote_agreement", "flips", "accuracy", "boundary_images"):
+        if full_m.get(key) != sub_m.get(key):
+            raise MergeError(
+                f"seed {seed} mode {full_m['mode']!r}: {key} differs between "
+                f"runs ({full_m.get(key)} vs {sub_m.get(key)}) — the subset "
+                "run did not reproduce the full run")
+    for key in ("mean_abs_conf_drift", "max_abs_conf_drift"):
+        a, b = full_m.get(key), sub_m.get(key)
+        if a is not None and b is not None and abs(a - b) > 1e-6:
+            raise MergeError(
+                f"seed {seed} mode {full_m['mode']!r}: {key} differs "
+                f"({a} vs {b})")
+
+
+def merge_reports(full: dict, subset: dict) -> dict:
+    """Return ``full`` with ``subset``'s new mode rows + raw votes grafted in.
+
+    Mutates and returns ``full``. Raises MergeError when the two reports
+    disagree on task/protocol or on any shared mode's numbers.
+    """
+    from tpusr.tools.serving_gate import aggregate_runs
+
+    if full.get("task") != subset.get("task"):
+        raise MergeError(f"task mismatch: {full.get('task')} vs "
+                         f"{subset.get('task')}")
+    sub_by_seed = {r["seed"]: r for r in subset["runs"]}
+    merged_modes = set()
+    for fr in full["runs"]:
+        seed = fr["seed"]
+        if seed not in sub_by_seed:
+            raise MergeError(f"subset run missing seed {seed}")
+        sr = sub_by_seed[seed]
+        for key in ("protocol", "training"):
+            if fr.get(key) != sr.get(key):
+                raise MergeError(f"seed {seed}: {key} differs between runs")
+        if fr["reference_accuracy"] != sr["reference_accuracy"]:
+            raise MergeError(
+                f"seed {seed}: reference_accuracy differs "
+                f"({fr['reference_accuracy']} vs {sr['reference_accuracy']})")
+        full_by_mode = {m["mode"]: m for m in fr["modes"]}
+        for sm in sr["modes"]:
+            if sm["mode"] in full_by_mode:
+                _check_shared_mode(seed, full_by_mode[sm["mode"]], sm)
+            else:
+                fr["modes"].append(sm)
+                merged_modes.add(sm["mode"])
+        if "raw_votes" in sr and "raw_votes" not in fr:
+            fr["raw_votes"] = sr["raw_votes"]
+        if "cascade_rank_analysis" in sr and "cascade_rank_analysis" \
+                not in fr:
+            fr["cascade_rank_analysis"] = sr["cascade_rank_analysis"]
+        if "gate_standard" in sr and "gate_standard" not in fr:
+            fr["gate_standard"] = sr["gate_standard"]
+    full["aggregate"] = aggregate_runs(full["runs"])
+    prov = full.setdefault("merged_from", [])
+    prov.append({"modes_added": sorted(merged_modes),
+                 "subset_task": subset.get("task"),
+                 "note": "subset --modes re-run, shared modes verified "
+                         "identical per seed (tpusr.tools.gate_merge)"})
+    return full
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--full", required=True)
+    ap.add_argument("--subset", required=True)
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args(argv)
+    with open(args.full) as f:
+        full = json.load(f)
+    with open(args.subset) as f:
+        subset = json.load(f)
+    merged = merge_reports(full, subset)
+    with open(args.out, "w") as f:
+        json.dump(merged, f, indent=2)
+    added = merged["merged_from"][-1]["modes_added"]
+    print(f"merged {len(added)} new mode rows into {args.out}: {added}")
+
+
+if __name__ == "__main__":
+    main()

@@ -228,23 +228,45 @@ def per_patch_votes(clf_probs_fn, sr_images: jnp.ndarray, chunk=8):
     return np.concatenate(cls_all), np.concatenate(conf_all)
 
 
-def shared_trunk_votes(fn, sr_images: jnp.ndarray, chunk=16):
-    """fn(block) -> (nb, n_patches, classes) probs (f32 or int8 trunk)."""
+def _vote_scores(probs):
+    """`_vote` plus trunk-side escalation-ranking signals for the cascade.
+
+    vote_frac: fraction of patches whose argmax agrees with the final vote —
+    the direct patch-disagreement signal `_vote`'s mean-prob confidence can
+    hide (a trunk can be 0.7-confident on an image whose patches split
+    60/40). mean_margin: mean top-2 probability gap across patches (patch
+    decisiveness independent of which side each patch lands on)."""
+    from tpusr.pipeline.defect_pipeline import _vote
+
+    cls, conf = _vote(probs)
+    preds = jnp.argmax(probs, axis=-1)
+    vote_frac = jnp.mean((preds == cls).astype(jnp.float32))
+    top2 = jnp.sort(probs, axis=-1)
+    mean_margin = jnp.mean(top2[..., -1] - top2[..., -2])
+    return cls, conf, vote_frac, mean_margin
+
+
+def shared_trunk_votes(fn, sr_images: jnp.ndarray, chunk=16,
+                       with_scores=False):
+    """fn(block) -> (nb, n_patches, classes) probs (f32 or int8 trunk).
+
+    with_scores=True additionally returns the per-image cascade ranking
+    scores (vote_frac, mean_margin) from `_vote_scores`."""
     from tpusr.pipeline.defect_pipeline import _vote
 
     n = sr_images.shape[0]
-    jfn = jax.jit(lambda b: jax.vmap(_vote)(fn(b)))
-    cls_all, conf_all = [], []
+    vote = _vote_scores if with_scores else _vote
+    jfn = jax.jit(lambda b: jax.vmap(vote)(fn(b)))
+    outs = []
     for s in range(0, n - chunk + 1, chunk):
-        cls, conf = jfn(jax.lax.dynamic_slice_in_dim(sr_images, s, chunk, 0))
-        cls_all.append(np.asarray(cls))
-        conf_all.append(np.asarray(conf))
+        res = jfn(jax.lax.dynamic_slice_in_dim(sr_images, s, chunk, 0))
+        outs.append([np.asarray(r) for r in res])
     rem = n % chunk
     if rem:
-        cls, conf = jfn(sr_images[-chunk:])
-        cls_all.append(np.asarray(cls)[-rem:])
-        conf_all.append(np.asarray(conf)[-rem:])
-    return np.concatenate(cls_all), np.concatenate(conf_all)
+        res = jfn(sr_images[-chunk:])
+        outs.append([np.asarray(r)[-rem:] for r in res])
+    cols = [np.concatenate(col) for col in zip(*outs)]
+    return tuple(cols) if with_scores else (cols[0], cols[1])
 
 
 def _apply_sr(fn, r, lr_images: jnp.ndarray, chunk=16) -> jnp.ndarray:
@@ -266,17 +288,63 @@ def _apply_sr(fn, r, lr_images: jnp.ndarray, chunk=16) -> jnp.ndarray:
 BOUNDARY_CONF = 0.65  # ref-confidence below this marks a "boundary" image
 # trunk-confidence escalation thresholds certified for the serving cascade
 CASCADE_THRESHOLDS = (0.60, 0.70, 0.80, 0.90)
+# static top-K escalation fractions certified for the serving cascade —
+# these rows mirror what cascade.py/bench.py actually execute (top_k by
+# score inside one jit graph)
+CASCADE_FRACS = (0.25, 0.375, 0.5)
 
 
-def derive_cascade_modes(raw_votes, ref_cls, ref_conf, labels_h):
+def _lex_score(vote_frac, conf, n_patches):
+    """vote_frac primary, conf tie-break, exactly lexicographic: vote_frac
+    is quantized to 1/n_patches steps and conf <= 1, so conf scaled by half
+    a quantum can never cross a vote_frac step."""
+    return vote_frac + conf * (0.5 / n_patches)
+
+
+def cascade_rank_analysis(raw_votes, ref_cls, trunk_scores, n_patches=100):
+    """Which escalation score ranks the trunk's flips lowest?
+
+    The cascade's static top-K escalation is safe iff every trunk-vs-
+    reference flip sits within the K lowest-scored images — so the number
+    that matters per score is (max flip rank + 1)/N, the minimal zero-flip
+    static escalation fraction. Derived offline from the gate's raw votes;
+    'vote_frac+conf' is the lexicographic combination cascade.py implements
+    for escalate_score='vote_frac'."""
+    if "shared_trunk_int8" not in raw_votes or trunk_scores is None:
+        return None
+    cls_t, conf_t = raw_votes["shared_trunk_int8"]
+    n = len(cls_t)
+    flips = np.flatnonzero(np.asarray(cls_t) != np.asarray(ref_cls))
+    scores = {"conf": np.asarray(conf_t),
+              **{k: np.asarray(v) for k, v in trunk_scores.items()}}
+    scores["vote_frac+conf"] = _lex_score(scores["vote_frac"],
+                                          scores["conf"], n_patches)
+    out = {"n_images": n, "trunk_flips": int(flips.size), "scores": {}}
+    for name, s in scores.items():
+        order = np.argsort(s, kind="stable")
+        rank_of = np.empty(n, np.int64)
+        rank_of[order] = np.arange(n)
+        franks = sorted(int(rank_of[i]) for i in flips)
+        out["scores"][name] = {
+            "flip_ranks": franks,
+            "min_zero_flip_escalation_frac":
+                0.0 if not franks else (franks[-1] + 1) / n,
+        }
+    return out
+
+
+def derive_cascade_modes(raw_votes, ref_cls, ref_conf, labels_h,
+                         trunk_scores=None, n_patches=100):
     """Derived cascade rows (zero extra compute).
 
-    cascade = shared-trunk int8 votes, but any image whose TRUNK vote
-    confidence falls below T is escalated to the exact per-patch int8 path
-    (the hard-gate-certified mode, tpusr/pipeline/cascade.py). Both
-    parents' per-image votes are already computed by run_gate, so cascade(T)
-    is a pure numpy merge — this certifies the serving cascade at every
-    CASCADE_THRESHOLDS entry without re-running the networks.
+    cascade = shared-trunk int8 votes, but low-trunk-score images are
+    escalated to the exact per-patch int8 path (the hard-gate-certified
+    mode, tpusr/pipeline/cascade.py). Both parents' per-image votes are
+    already computed by run_gate, so every cascade variant is a pure numpy
+    merge — this certifies the serving cascade at every CASCADE_THRESHOLDS
+    confidence threshold AND (when trunk_scores carries vote_frac) every
+    CASCADE_FRACS static top-K fraction for both ranking scores, without
+    re-running the networks.
     """
     if not ("shared_trunk_int8" in raw_votes and "int8_per_patch"
             in raw_votes):
@@ -284,17 +352,34 @@ def derive_cascade_modes(raw_votes, ref_cls, ref_conf, labels_h):
     cls_t, conf_t = raw_votes["shared_trunk_int8"]
     cls_p, conf_p = raw_votes["int8_per_patch"]
     out = []
-    for T in CASCADE_THRESHOLDS:
-        esc = conf_t < T
+
+    def add(name, esc):
         cls_c = np.where(esc, cls_p, cls_t)
         conf_c = np.where(esc, conf_p, conf_t)
-        entry = _compare(f"cascade_int8@{T:.2f}", ref_cls, ref_conf,
-                         cls_c, conf_c, labels_h)
+        entry = _compare(name, ref_cls, ref_conf, cls_c, conf_c, labels_h)
         entry["escalation_fraction"] = float(esc.mean())
         # flips remaining on NON-escalated images: the cascade's only
         # failure channel (escalated images carry certified votes)
         entry["unescalated_flips"] = int(((cls_c != ref_cls) & ~esc).sum())
         out.append(entry)
+
+    for T in CASCADE_THRESHOLDS:
+        add(f"cascade_int8@{T:.2f}", conf_t < T)
+
+    rank_scores = {"conf": np.asarray(conf_t)}
+    if trunk_scores is not None and "vote_frac" in trunk_scores:
+        rank_scores["vote_frac"] = _lex_score(
+            np.asarray(trunk_scores["vote_frac"]), np.asarray(conf_t),
+            n_patches)
+    n = len(cls_t)
+    for sname, s in rank_scores.items():
+        for frac in CASCADE_FRACS:
+            k = max(1, round(n * frac))
+            # k lowest-scored images, ties to lower index — matches
+            # lax.top_k(-score) in cascade.py
+            esc = np.zeros(n, bool)
+            esc[np.argsort(s, kind="stable")[:k]] = True
+            add(f"cascade_int8[{sname}]@frac={frac}", esc)
     return out
 
 
@@ -439,7 +524,7 @@ def run_gate(n_images=128, size=512, clf_steps=500, edsr_steps=600, seed=0,
         ("shared_trunk_int8",
          lambda: shared_trunk_votes(
              lambda b: shared_trunk_probs_int8(qtree, b, PATCH, STRIDE),
-             sr_f32)),
+             sr_f32, with_scores=True)),
         ("int8_sr_f32_per_patch",
          lambda: per_patch_votes(f32_probs, sr_int8)),
         # bench frontier mode: int8 SR + the reference patch protocol with
@@ -460,16 +545,30 @@ def run_gate(n_images=128, size=512, clf_steps=500, edsr_steps=600, seed=0,
     ]
     if mode_names is not None:  # subset for cheap harness smokes
         runs = [(n, f) for n, f in runs if n in mode_names]
-    raw_votes = {}
+    raw_votes, trunk_scores = {}, None
     for name, fn in runs:
         log(f"{name}...")
-        cls, conf = fn()
+        res = fn()
+        cls, conf = res[0], res[1]
+        if len(res) == 4:  # shared_trunk_int8 carries cascade rank scores
+            trunk_scores = {"vote_frac": np.asarray(res[2]),
+                            "mean_margin": np.asarray(res[3])}
         raw_votes[name] = (np.asarray(cls), np.asarray(conf))
         report["modes"].append(_compare(name, ref_cls, ref_conf, cls, conf,
                                         y_eval))
 
+    from tpusr.core.pad import pad_amounts
+    from tpusr.core.patches import patch_grid_size
+
+    pad_h, pad_w = pad_amounts(size, size, PATCH, STRIDE)
+    nh, nw = patch_grid_size(size + pad_h, size + pad_w, PATCH, STRIDE)
+    n_patches = nh * nw
     report["modes"].extend(
-        derive_cascade_modes(raw_votes, ref_cls, ref_conf, y_eval))
+        derive_cascade_modes(raw_votes, ref_cls, ref_conf, y_eval,
+                             trunk_scores=trunk_scores, n_patches=n_patches))
+    rank = cascade_rank_analysis(raw_votes, ref_cls, trunk_scores, n_patches)
+    if rank is not None:
+        report["cascade_rank_analysis"] = rank
 
     # raw per-image votes (small: N ints + N floats per mode) so thresholds
     # can be re-derived offline without re-training
@@ -480,6 +579,9 @@ def run_gate(n_images=128, size=512, clf_steps=500, edsr_steps=600, seed=0,
                   "conf": np.round(f, 4).tolist()}
            for name, (c, f) in raw_votes.items()},
     }
+    if trunk_scores is not None:
+        report["raw_votes"]["shared_trunk_int8"].update(
+            {k: np.round(v, 4).tolist() for k, v in trunk_scores.items()})
 
     report["gate_standard"] = {
         "min_vote_agreement": 0.99,
