@@ -50,34 +50,56 @@ MODES = {
     "int8_sr_per_patch_int8": dict(
         sr="int8", border=True, clf="per_patch_int8",
         fidelity="gated votes; reference patch protocol, int8 numerics"),
-    # hard-gate certified (GATE_r04.json): exact f32 SR image + int8
-    # per-patch classifier — ZERO vote flips across every seed of both the
-    # easy and hard task matrices
+    # hard-gate certified (GATE_r05.json, 6 seeds x 128 images): exact f32
+    # SR image + int8 per-patch classifier — ZERO vote flips on every seed
     "int8_per_patch": dict(
         sr="f32", border=True, clf="per_patch_int8",
         fidelity="hard-gate certified: f32 SR (image-faithful by "
-                 "construction), int8 per-patch votes, 0 flips on all "
-                 "GATE_r04.json seeds"),
-    # confidence cascade (tpusr/pipeline/cascade.py): shared-trunk int8
-    # votes, the BENCH_CASCADE_FRAC least-confident images of each batch
-    # escalated to the certified per-patch path. GATE_r04.json's derived
-    # cascade rows certify T=0.80 with ZERO flips on all seeds, but the
-    # below-0.80 confidence mass reaches 0.578 on the worst seed (whose
-    # trunk mis-ranks its flips at ranks 64-67/128) — so the certified
-    # static fraction is 0.625, not the 0.25 a calibrated model needs
+                 "construction), int8 per-patch votes, 0 flips on all 6 "
+                 "GATE_r05.json hard-task seeds"),
+    # conf-ranked cascade rows (the round-4 default candidates): DEMOTED by
+    # the round-5 fresh seeds — trunk confidence mis-ranks flips on 4 of 6
+    # seeds (GATE_r05.json: conf rows fail the 99% bar at EVERY measured
+    # fraction up to 0.5; the calibration assumption behind frac=0.25 was
+    # refuted out-of-sample). Kept as measured frontier rows only.
     "cascade_int8": dict(
         sr="f32", border=True, clf="cascade_int8", frac=0.625,
-        fidelity="hard-gate certified cascade at escalate_frac=0.625 "
-                 "(covers the worst seed's 0.578 below-T=0.80 mass, "
-                 "GATE_r04.json cascade rows) with NO per-model "
-                 "calibration assumed"),
+        fidelity="DEMOTED (GATE_r05.json): conf-ranked escalation misses "
+                 "flips the trunk is confident about on 4 of 6 seeds; use "
+                 "the vote_frac rows"),
     "cascade_int8_calibrated": dict(
         sr="f32", border=True, clf="cascade_int8", frac=0.25,
-        fidelity="cascade at escalate_frac=0.25 — certified for "
-                 "deployments whose trunk confidence is calibrated on "
-                 "held-out data (GATE_r04.json seeds 1-2 certify at "
-                 "0.27-0.36 below-T mass; the uncalibrated worst seed "
-                 "needs 0.625)"),
+        fidelity="DEMOTED (GATE_r05.json): the per-deployment calibration "
+                 "assumption was refuted on fresh seeds (conf ranking needs "
+                 "up to frac 0.86 for zero flips)"),
+    # vote_frac-ranked cascade (cascade.py escalate_score='vote_frac'):
+    # patch-disagreement ranking. GATE_r05.json (6 seeds — 3 of them fresh,
+    # not used to select the score — x 128 images): frac=0.25 passes the
+    # pre-registered >=99% vote-agreement gate on every seed (min 99.22%,
+    # 2 flips / 768 images); frac=0.3125 has ZERO flips on every seed.
+    "cascade_int8_votefrac": dict(
+        sr="f32", border=True, clf="cascade_int8", frac=0.25,
+        score="vote_frac",
+        fidelity="hard-gate certified (pre-registered >=99% vote-agreement "
+                 "bar, GATE_r05.json all 6 seeds, min 99.22%, 2 flips in "
+                 "768 images, no calibration assumed); zero-flip variant: "
+                 "cascade_int8_votefrac_zeroflip"),
+    "cascade_int8_votefrac_zeroflip": dict(
+        sr="f32", border=True, clf="cascade_int8", frac=0.3125,
+        score="vote_frac",
+        fidelity="hard-gate certified, ZERO flips on all 6 GATE_r05.json "
+                 "hard-task seeds (768 images), no calibration assumed "
+                 "(per-seed zero-flip minima 0.03-0.3125, "
+                 "cascade_rank_analysis)"),
+    # bf16-SR cascade candidate: the SR stage in bf16 (vs f32) shaves the
+    # dominant non-classifier cost; bf16 SR is near-bit-faithful (>>35 dB
+    # vs f32 SR), unlike the int8 SR whose votes the gate demoted
+    "cascade_bf16sr_votefrac": dict(
+        sr="bf16", border=True, clf="cascade_int8", frac=0.25,
+        score="vote_frac",
+        fidelity="bf16 SR + vote_frac cascade at frac=0.25 — certified in "
+                 "GATE_r05.json bf16_sr_cascade rows (bf16 SR is "
+                 "image-faithful: PSNR vs f32 SR recorded there)"),
     "bf16": dict(
         sr="bf16", border=True, clf="per_patch_bf16",
         fidelity="bf16 numerics, exact protocol and graph"),
@@ -86,14 +108,17 @@ MODES = {
         fidelity="bitwise reference-comparable path "
                  "(logit parity: tests/test_keras_import.py)"),
 }
-# Default = the fastest mode that passes the HARD-task gate on every seed
-# (GATE_r04.json, reference path at its real ~0.95 operating point). The
-# shared-trunk / int8-SR modes clear the easy task (GATE.json, 100%) but at
-# the hard operating point their boundary-image flips land at 96.9-97.9%
-# vote agreement — below the pre-registered 99% bar — so they are demoted
-# to frontier rows (accuracy is preserved: the flips are confined to images
-# where the reference vote itself is a near-coin-flip).
-DEFAULT_MODE = "int8_per_patch"
+# Default = the fastest mode that passes the pre-registered hard-task gate
+# (>= 99% vote agreement vs the f32 per-patch reference path) on EVERY seed
+# of GATE_r05.json — 6 seeds x 128 images, 3 seeds selection-fresh. That is
+# the vote_frac-ranked confidence cascade at escalate_frac=0.25 (min 99.22%
+# agreement, 2 flips / 768 images, no calibration assumption; the zero-flip
+# variant at frac=0.3125 is the stricter tier). The shared-trunk / int8-SR
+# / conf-ranked-cascade modes fail the hard gate and are frontier rows only
+# (accuracy is preserved on their flips: the reference vote itself is a
+# near-coin-flip there, but the gate bar is vote agreement, not accuracy).
+# tests/test_gate_consistency.py pins this default to the shipped artifact.
+DEFAULT_MODE = "cascade_int8_votefrac"
 
 
 def build_chain(mode_cfg, sr_params, clf_params_f32, lr_hw, scale, patch,

@@ -205,6 +205,56 @@ def test_merge_selection_fast(monkeypatch):
     np.testing.assert_allclose(np.asarray(conf_c), want_conf, atol=1e-6)
 
 
+def test_pad_rows_never_escalate_fast(monkeypatch):
+    """n_valid masks batch-padding rows out of the escalation ranking:
+    PipelineServer pads partial batches by repeating the last real image, and
+    duplicate low-score pad rows must not displace real low-confidence images
+    from the static top-K (the GATE-certified coverage is over REAL images)."""
+    import tpusr.pipeline.cascade as casc
+
+    imgs = (jnp.arange(4 * 2 * 2 * 3, dtype=jnp.float32)
+            .reshape(4, 2, 2, 3) / 48.0)
+    img_means = imgs.mean(axis=(1, 2, 3))
+    # trunk confidences 0.90, 0.60, 0.95, 0.55; k = 2. Unmasked escalation
+    # would pick {1, 3}; with rows {2, 3} marked as padding the two real
+    # rows {0, 1} must BOTH escalate instead.
+    trunk_probs = jnp.array([[[0.90, 0.10]], [[0.40, 0.60]],
+                             [[0.05, 0.95]], [[0.55, 0.45]]])
+    pp_table = jnp.array([[0.20, 0.80], [0.99, 0.01],
+                          [0.70, 0.30], [0.02, 0.98]])
+
+    def pp_apply(qtree, flat):
+        means = flat.mean(axis=(1, 2, 3))
+        idx = jnp.argmin(jnp.abs(means[:, None] - img_means[None, :]),
+                         axis=1)
+        return pp_table[idx]
+
+    monkeypatch.setattr(casc, "quantize_input", lambda q, x: x)
+    monkeypatch.setattr(casc, "shared_trunk_probs_int8",
+                        lambda q, x, p, s: trunk_probs)
+    monkeypatch.setattr(casc, "quantized_vgg16_apply", pp_apply)
+
+    votes = make_cascade_votes({}, patch=2, stride=2, escalate_frac=0.5)
+    cls_t, conf_t = map(np.asarray, jax.vmap(_vote)(trunk_probs))
+    cls_p, conf_p = map(np.asarray, jax.vmap(_vote)(pp_table[:, None, :]))
+
+    want_cls, want_conf = cls_t.copy(), conf_t.copy()
+    want_cls[:2], want_conf[:2] = cls_p[:2], conf_p[:2]
+    cls_c, conf_c = votes(imgs, n_valid=jnp.int32(2))
+    np.testing.assert_array_equal(np.asarray(cls_c), want_cls)
+    np.testing.assert_allclose(np.asarray(conf_c), want_conf, atol=1e-6)
+
+    # n_valid = N is a no-op (identical to the unmasked call)
+    a = votes(imgs)
+    b = votes(imgs, n_valid=jnp.int32(4))
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+    # n_valid < K: every real row escalates; leftover slots may fall on pad
+    # rows (harmless — the server discards pad results)
+    cls_one, _ = votes(imgs, n_valid=jnp.int32(1))
+    assert int(cls_one[0]) == int(cls_p[0])
+
+
 @pytest.mark.slow  # ~155s: compiles the full serving pipeline graph on CPU
 def test_serving_pipeline_cascade_mode(setup):
     """make_serving_pipeline(clf_mode='cascade_int8') end-to-end: matches

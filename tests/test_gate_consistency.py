@@ -1,0 +1,145 @@
+"""The shipped defaults must match what the serving gate certified.
+
+Round-4 failure shape: the bench demoted a mode the hard gate failed, but
+the `serve` CLI and README kept shipping it as the default. These tests pin
+the three surfaces to the ONE shipped gate artifact (GATE_r05.json):
+
+- bench.py's DEFAULT_MODE maps to a gate row with passes_gate_all_seeds;
+- the serve CLI's default configuration maps to the same certified row;
+- the artifact itself is the hard task, carries the selection-fresh seeds,
+  and the certified row's support includes seeds the score was NOT selected
+  on (GATE_r04 selected vote_frac on seeds 0-2; >=3 fresh seeds required).
+
+A future demotion (or a new uncertified default) fails here instead of
+silently shipping.
+"""
+
+import importlib.util
+import json
+import os
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GATE_PATH = os.path.join(ROOT, "GATE_r05.json")
+SELECTION_SEEDS = {0, 1, 2}  # vote_frac was picked from these (GATE_r04)
+
+
+@pytest.fixture(scope="module")
+def gate():
+    with open(GATE_PATH) as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="module")
+def agg_modes(gate):
+    return {m["mode"]: m for m in gate["aggregate"]["modes"]}
+
+
+def _bench_module():
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(ROOT, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _row_for(mode_cfg):
+    from tpusr.tools.serving_gate import gate_row_name
+
+    return gate_row_name(mode_cfg["sr"], mode_cfg["clf"],
+                         border=mode_cfg["border"],
+                         cascade_score=mode_cfg.get("score", "conf"),
+                         cascade_frac=mode_cfg.get("frac"))
+
+
+def test_gate_artifact_is_hard_task_with_fresh_seeds(gate):
+    assert gate["task"]["name"] == "hard"
+    assert gate["task"]["coverage_range"][0] < 1.0
+    seeds = set(gate["aggregate"]["seeds"])
+    assert len(seeds) >= 6
+    assert len(seeds - SELECTION_SEEDS) >= 3, (
+        "certification needs >=3 seeds the escalation score was not "
+        f"selected on; have {sorted(seeds)}")
+    # the reference path must be near its real operating point (gate
+    # standard: min_reference_accuracy 0.85) on nearly all seeds. Degenerate
+    # training runs (seed 4: 0.64) STAY in the artifact and still count
+    # toward passes_gate_all_seeds — keeping them is conservative — but the
+    # certification is only meaningful if they are rare.
+    accs = gate["aggregate"]["reference_accuracy_per_seed"]
+    meaningful = [a for a in accs if a >= 0.85]
+    assert len(meaningful) >= len(accs) - 1, accs
+    assert len(meaningful) >= 5
+
+
+def test_bench_default_mode_is_certified(gate, agg_modes):
+    bench = _bench_module()
+    row = _row_for(bench.MODES[bench.DEFAULT_MODE])
+    assert row in agg_modes, f"bench default maps to {row!r}: no gate row"
+    m = agg_modes[row]
+    assert m["passes_gate_all_seeds"], (
+        f"bench default {bench.DEFAULT_MODE!r} -> gate row {row!r} FAILED "
+        f"the gate: {m}")
+    # certified on EVERY seed in the artifact, including the fresh ones
+    assert set(m["seeds"]) == set(gate["aggregate"]["seeds"]), m["seeds"]
+    assert len(set(m["seeds"]) - SELECTION_SEEDS) >= 3
+    # the stricter zero-flip tier must also ship as a frontier row
+    zf = bench.MODES.get("cascade_int8_votefrac_zeroflip")
+    assert zf is not None
+    zrow = _row_for(zf)
+    assert agg_modes[zrow]["total_flips"] == 0, agg_modes[zrow]
+
+
+def test_serve_cli_defaults_are_certified(agg_modes):
+    from tpusr.cli.__main__ import build_parser
+    from tpusr.tools.serving_gate import gate_row_name
+
+    args = build_parser().parse_args(
+        ["serve", "--edsr-ckpt", "x", "--vgg16-ckpt", "y"])
+    row = gate_row_name(args.sr_mode, args.clf_mode,
+                        border=not args.no_border,
+                        cascade_score=args.cascade_score,
+                        cascade_frac=args.cascade_frac)
+    assert row in agg_modes, f"serve default maps to {row!r}: no gate row"
+    m = agg_modes[row]
+    assert m["passes_gate_all_seeds"], m
+
+
+def test_bench_and_serve_share_one_default(agg_modes):
+    """The production tier and the bench headline must be the SAME certified
+    configuration — the round-4 inconsistency a serving gate exists to
+    prevent."""
+    from tpusr.cli.__main__ import build_parser
+    from tpusr.tools.serving_gate import gate_row_name
+
+    bench = _bench_module()
+    bench_row = _row_for(bench.MODES[bench.DEFAULT_MODE])
+    args = build_parser().parse_args(
+        ["serve", "--edsr-ckpt", "x", "--vgg16-ckpt", "y"])
+    serve_row = gate_row_name(args.sr_mode, args.clf_mode,
+                              border=not args.no_border,
+                              cascade_score=args.cascade_score,
+                              cascade_frac=args.cascade_frac)
+    assert bench_row == serve_row, (bench_row, serve_row)
+
+
+def test_fidelity_strings_cite_the_shipped_artifact():
+    """bench.py's fidelity strings must cite the artifact that exists and
+    carries the rows (round-4 weakness: strings cited GATE_r04.json while
+    the frac rows lived only in a side file)."""
+    bench = _bench_module()
+    cited = set()
+    for cfg in bench.MODES.values():
+        for tok in cfg["fidelity"].replace("(", " ").replace(")", " ").split():
+            if tok.startswith("GATE") and tok.endswith(".json"):
+                cited.add(tok)
+    for artifact in cited:
+        path = os.path.join(ROOT, artifact)
+        assert os.path.exists(path), f"fidelity string cites missing {artifact}"
+        if artifact == os.path.basename(GATE_PATH):
+            with open(path) as f:
+                modes = {m["mode"] for m in
+                         json.load(f)["aggregate"]["modes"]}
+            # the rows the cascade fidelity claims rest on must be present
+            assert any(m.startswith("cascade_int8[vote_frac]")
+                       for m in modes), modes

@@ -96,6 +96,55 @@ def test_fused_pipeline_sharded_batch():
     np.testing.assert_array_equal(np.asarray(cls_plain), np.asarray(cls_sh))
 
 
+def test_cascade_sharded_batch_equality(monkeypatch):
+    """The cascade's top_k + gather + scatter run over the BATCH axis — the
+    axis data parallelism shards. XLA SPMD must produce the same votes on a
+    sharded batch as on one device (it all-gathers the score vector; the
+    selection itself is global). Stubbed parents keep this quick; the real-
+    network cascade equality is certified by __graft_entry__.dryrun_multichip
+    every round."""
+    import tpusr.pipeline.cascade as casc
+    from tpusr.pipeline.cascade import make_cascade_votes
+    from tpusr.pipeline.defect_pipeline import _vote
+
+    mesh = make_mesh()
+    n = 8
+    imgs = (jnp.arange(n * 2 * 2 * 3, dtype=jnp.float32)
+            .reshape(n, 2, 2, 3) / (n * 12.0))
+    img_means = imgs.mean(axis=(1, 2, 3))
+    rng = np.random.default_rng(7)
+    p1 = rng.uniform(0.05, 0.95, size=n)
+    trunk_probs = jnp.asarray(
+        np.stack([1 - p1, p1], -1)[:, None, :].astype(np.float32))
+    pp = rng.uniform(0.05, 0.95, size=n)
+    pp_table = jnp.asarray(np.stack([1 - pp, pp], -1).astype(np.float32))
+
+    def pp_apply(qtree, flat):
+        means = flat.mean(axis=(1, 2, 3))
+        idx = jnp.argmin(jnp.abs(means[:, None] - img_means[None, :]),
+                         axis=1)
+        return pp_table[idx]
+
+    monkeypatch.setattr(casc, "quantize_input", lambda q, x: x)
+    monkeypatch.setattr(casc, "shared_trunk_probs_int8",
+                        lambda q, x, p, s: trunk_probs)
+    monkeypatch.setattr(casc, "quantized_vgg16_apply", pp_apply)
+
+    for score in ("conf", "vote_frac"):
+        votes = jax.jit(make_cascade_votes({}, patch=2, stride=2,
+                                           escalate_frac=0.25,
+                                           escalate_score=score))
+        cls_1, conf_1 = votes(imgs)
+        cls_8, conf_8 = votes(shard_batch(mesh, imgs))
+        np.testing.assert_array_equal(np.asarray(cls_1), np.asarray(cls_8))
+        np.testing.assert_allclose(np.asarray(conf_1), np.asarray(conf_8),
+                                   atol=1e-6)
+        # pad-mask (n_valid) under sharding: same equality
+        cls_1m, _ = votes(imgs, jnp.int32(5))
+        cls_8m, _ = votes(shard_batch(mesh, imgs), jnp.int32(5))
+        np.testing.assert_array_equal(np.asarray(cls_1m), np.asarray(cls_8m))
+
+
 @pytest.mark.slow  # 54s subprocess bootstrap; the driver runs dryrun_multichip directly every round
 def test_dryrun_multichip_4_devices():
     import __graft_entry__ as ge

@@ -557,6 +557,49 @@ def cmd_eda(args):
                      interp_map_path=args.interp_map, limit=args.limit)
 
 
+def _gate_certification_note(args) -> str | None:
+    """One-line serving-gate verdict for the selected configuration.
+
+    Looks the configuration's gate row up in the shipped GATE artifact
+    (repo-root GATE_r05.json; skipped silently when the artifact isn't
+    present, e.g. an installed wheel). A mode the hard gate DEMOTED gets a
+    prominent warning — the round-4 failure shape was the serve CLI
+    defaulting to a configuration its own gate had failed."""
+    import json
+
+    from tpusr.tools.serving_gate import gate_row_name
+
+    if (args.sr_mode, args.clf_mode) == ("f32", "per_patch_f32"):
+        return "reference-parity path (the gate's comparison baseline)"
+    try:
+        row = gate_row_name(args.sr_mode, args.clf_mode,
+                            border=not args.no_border,
+                            cascade_score=args.cascade_score,
+                            cascade_frac=args.cascade_frac)
+    except ValueError as e:
+        return f"WARNING: configuration NOT gate-certified ({e})"
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    path = os.path.join(root, "GATE_r05.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        modes = json.load(f)["aggregate"]["modes"]
+    m = next((x for x in modes if x["mode"] == row), None)
+    if m is None:
+        return (f"WARNING: {row} has no row in the serving gate "
+                "(uncertified configuration)")
+    if not m.get("passes_gate_all_seeds"):
+        return (f"WARNING: {row} FAILED the hard serving gate "
+                f"(min vote agreement {m['min_vote_agreement']:.4f} < 0.99, "
+                f"{m['total_flips']} flips — GATE_r05.json); certified "
+                "alternatives: the default cascade_int8[vote_frac] or "
+                "per_patch_int8 on f32 SR")
+    return (f"hard-gate certified: {row} (min vote agreement "
+            f"{m['min_vote_agreement']:.4f}, {m['total_flips']} flips over "
+            f"seeds {m.get('seeds')} — GATE_r05.json)")
+
+
 def cmd_serve(args):
     """Stand up the production serving tier: load trained EDSR + VGG16
     checkpoints, build a gated ``make_serving_pipeline`` configuration, and
@@ -639,6 +682,10 @@ def cmd_serve(args):
     if args.clf_mode == "cascade_int8":
         config["cascade_escalate_frac"] = args.cascade_frac
         config["cascade_escalate_score"] = args.cascade_score
+    note = _gate_certification_note(args)
+    if note:
+        config["gate"] = note
+        print(f"tpusr serve: {note}", flush=True)
     with PipelineServer(pipe, batch_size=args.batch_size,
                         max_wait_ms=args.max_wait_ms) as server:
         # warm the FULL serving path (jit compile + pad/coalesce + worker
@@ -664,7 +711,7 @@ def cmd_serve(args):
             httpd.server_close()
 
 
-def main(argv=None):
+def build_parser():
     p = argparse.ArgumentParser(prog="tpusr")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -803,21 +850,26 @@ def main(argv=None):
     sp.add_argument("--patch", type=int, default=96)
     sp.add_argument("--stride", type=int, default=48)
     sp.add_argument("--num-classes", type=int, default=2)
-    sp.add_argument("--sr-mode", default="int8",
+    # serve defaults = the hard-gate-certified cascade (GATE_r05.json:
+    # f32 SR + vote_frac-ranked cascade_int8 at frac 0.25, 0 flips on every
+    # hard-task seed, no calibration assumed). tests/test_gate_consistency.py
+    # asserts these defaults stay certified — a future demotion fails tests
+    # instead of silently shipping.
+    sp.add_argument("--sr-mode", default="f32",
                     choices=("f32", "bf16", "int8"))
-    sp.add_argument("--clf-mode", default="shared_trunk_int8",
+    sp.add_argument("--clf-mode", default="cascade_int8",
                     choices=("per_patch_f32", "per_patch_int8",
                              "shared_trunk_f32", "shared_trunk_int8",
                              "cascade_int8"))
     sp.add_argument("--cascade-score", choices=("conf", "vote_frac"),
-                    default="conf",
-                    help="cascade_int8: escalation ranking signal — trunk "
-                         "vote confidence or patch-agreement fraction "
-                         "(GATE_r04.json cascade_rank_analysis)")
+                    default="vote_frac",
+                    help="cascade_int8: escalation ranking signal — patch-"
+                         "agreement fraction (certified) or trunk vote "
+                         "confidence (GATE_r05.json cascade_rank_analysis)")
     sp.add_argument("--cascade-frac", type=float, default=0.25,
-                    help="cascade_int8: fraction of each batch (the least-"
-                         "confident trunk votes) escalated to the exact "
-                         "per-patch int8 path (GATE_r04.json cascade rows)")
+                    help="cascade_int8: fraction of each batch (the lowest-"
+                         "scored trunk votes) escalated to the exact "
+                         "per-patch int8 path (GATE_r05.json cascade rows)")
     sp.add_argument("--no-border", action="store_true",
                     help="drop the int8 SR border band (classify-only mode: "
                          "fastest, SR output not image-faithful — see "
@@ -849,8 +901,11 @@ def main(argv=None):
                          "(tpusr.tools.lpips_weights); activates the LPIPS "
                          "column + best/worst-LPIPS scenario dumps")
     sp.set_defaults(fn=cmd_eda)
+    return p
 
-    args = p.parse_args(argv)
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
     return args.fn(args)
 
 

@@ -34,10 +34,24 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+_initialized = False  # our own flag: set after a successful initialize()
+
+
 def is_initialized() -> bool:
-    """True once jax.distributed.initialize has run in this process."""
-    state = getattr(jax._src.distributed, "global_state", None)
-    return state is not None and state.client is not None
+    """True once jax.distributed.initialize has run in this process.
+
+    Checks our module flag first, then falls back to jax's internal state
+    (covers the caller having run jax.distributed.initialize directly). The
+    internal attribute is private and may move across jax versions, so its
+    absence degrades to False rather than raising — initialize() below then
+    stays idempotent by catching the 'already initialized' RuntimeError."""
+    if _initialized:
+        return True
+    try:
+        state = getattr(jax._src.distributed, "global_state", None)
+        return state is not None and state.client is not None
+    except Exception:
+        return False
 
 
 def initialize(coordinator_address: str | None = None,
@@ -71,10 +85,17 @@ def initialize(coordinator_address: str | None = None,
                              "(JAX_COORDINATOR_ADDRESS or argument)")
         return False  # single process: nothing to do
 
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id,
-                               local_device_ids=local_device_ids)
+    global _initialized
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id,
+                                   local_device_ids=local_device_ids)
+    except RuntimeError as e:
+        # second-call safety if the private-state probe above ever breaks
+        if "already initialized" not in str(e).lower():
+            raise
+    _initialized = True
     return True
 
 

@@ -51,14 +51,24 @@ def make_cascade_votes(qtree: dict, patch: int = 96, stride: int = 48,
                        escalate_score: str = "conf"):
     """Build the cascade vote function for a quantized VGG16 tree.
 
-    Returns ``votes(images) -> (classes, confidences)`` — jittable, static
-    shapes. ``images``: (N, H, W, 3) [0,1] f32 or pre-quantized int8 from
-    ``quantize_input``. Per trace, ``K = max(1, round(N * escalate_frac))``
-    lowest-trunk-score images are re-classified with the exact per-patch
-    int8 path (the GATE_r04-certified mode); the rest keep their
-    shared-trunk votes. Escalating a confident image is harmless (it can
-    only receive the certified vote), so K needs only to EXCEED the gate's
-    measured below-threshold fraction, not match it.
+    Returns ``votes(images, n_valid=None) -> (classes, confidences)`` —
+    jittable, static shapes. ``images``: (N, H, W, 3) [0,1] f32 or
+    pre-quantized int8 from ``quantize_input``. Per trace,
+    ``K = max(1, round(N * escalate_frac))`` lowest-trunk-score images are
+    re-classified with the exact per-patch int8 path (the GATE-certified
+    mode); the rest keep their shared-trunk votes. Escalating a confident
+    image is harmless (it can only receive the certified vote), so K needs
+    only to EXCEED the gate's measured below-threshold fraction, not match
+    it.
+
+    ``n_valid`` (traced int scalar, default all-N) marks rows >= n_valid as
+    batch padding: their scores are forced to +inf so they can NEVER consume
+    an escalation slot. PipelineServer pads partial batches by repeating the
+    last real image — without the mask, duplicate low-score pad rows would
+    displace genuinely low-confidence real images from the top-K and
+    silently shrink the certified escalation coverage over REAL images. With
+    the mask, K >= round(n_valid * escalate_frac) real images always
+    escalate (escalating leftover pad rows when K > n_valid is harmless).
 
     ``escalate_score`` ranks the batch for escalation:
       'conf'       — `_vote`'s mean winning-class probability (round-4
@@ -78,7 +88,7 @@ def make_cascade_votes(qtree: dict, patch: int = 96, stride: int = 48,
                          f"got {escalate_score!r}")
     from tpusr.pipeline.defect_pipeline import _vote
 
-    def votes(images: jnp.ndarray):
+    def votes(images: jnp.ndarray, n_valid=None):
         if images.dtype != jnp.int8:
             images = quantize_input(qtree, images)
         n, h, w, _ = images.shape
@@ -96,6 +106,8 @@ def make_cascade_votes(qtree: dict, patch: int = 96, stride: int = 48,
             score = agree.mean(axis=1) + conf_t * (0.5 / (nh * nw))
         else:
             score = conf_t
+        if n_valid is not None:  # pad rows must never win escalation slots
+            score = jnp.where(jnp.arange(n) < n_valid, score, jnp.inf)
 
         k = max(1, min(n, round(n * escalate_frac)))
         _, idx = jax.lax.top_k(-score, k)       # k lowest-scored images

@@ -105,9 +105,10 @@ class FusedSRClassifyPipeline:
         full-image conv trunk, ~2.9x fewer MACs; serving-gated).
 
         `cascade_votes` replaces the classify+vote stage entirely:
-        ``cascade_votes(images) -> (classes, confidences)`` (e.g.
+        ``cascade_votes(images, n_valid) -> (classes, confidences)`` (e.g.
         tpusr.pipeline.cascade — shared-trunk votes with static top-K
-        escalation of low-confidence images to the exact per-patch path).
+        escalation of low-confidence images to the exact per-patch path;
+        ``n_valid`` masks batch-padding rows out of the escalation ranking).
 
         Exactly one of `clf_apply` / `trunk_probs` / `cascade_votes` must be
         given."""
@@ -143,12 +144,12 @@ class FusedSRClassifyPipeline:
             probs = clf_apply(flat)
             return probs.reshape(sr_block.shape[0], n_patches, -1)
 
-        def run(lr_batch):
+        def run(lr_batch, n_valid):
             sr = sr_apply(lr_batch)  # (N, hr_h, hr_w, 3)
             srq = pre_quant(sr) if pre_quant is not None else sr
             n = srq.shape[0]
             if cascade_votes is not None:
-                classes, confs = cascade_votes(srq)
+                classes, confs = cascade_votes(srq, n_valid)
                 return sr, classes, confs
             if trunk_probs is not None:
                 probs = trunk_probs(srq)
@@ -170,9 +171,18 @@ class FusedSRClassifyPipeline:
             classes, confs = jax.vmap(_vote)(probs)
             return sr, classes, confs
 
-        self._run = jax.jit(run)
+        self._run_jit = jax.jit(run)
 
-    def __call__(self, lr_batch):
+    def _run(self, lr_batch, n_valid=None):
+        """Jitted pipeline on an already-device-placed batch. ``n_valid`` is
+        a traced scalar (no recompile per value) marking rows >= n_valid as
+        batch padding — only the cascade path consumes it (pad rows must not
+        win escalation slots); other paths ignore it."""
+        if n_valid is None:
+            n_valid = lr_batch.shape[0]
+        return self._run_jit(lr_batch, jnp.int32(n_valid))
+
+    def __call__(self, lr_batch, n_valid=None):
         """Returns (sr_batch, classes, confidences) — all device arrays.
         With a ``mesh``, the batch is sharded over its 'data' axis before
         the jitted graph runs (re-putting an already-sharded input is free),
@@ -182,7 +192,7 @@ class FusedSRClassifyPipeline:
         if self.mesh is not None and x.shape[0] % self.mesh.shape["data"] == 0:
             from tpusr.dist.mesh import shard_batch
             x = shard_batch(self.mesh, x)
-        return self._run(x)
+        return self._run(x, n_valid)
 
     def throughput(self, lr_batch, iters: int = 10) -> float:
         """Steady-state images/sec for the fused graph."""

@@ -105,19 +105,29 @@ def make_http_server(pipeline_server, lr_hw: tuple[int, int],
                                          daemon=True).start()
 
         def _handle_post(self):
+            from concurrent.futures import TimeoutError as FutTimeout
+
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 img = _decode_image(self.rfile.read(length))
                 if img.shape[:2] != tuple(lr_hw):
                     raise ValueError(f"expected {lr_hw[0]}x{lr_hw[1]} LR "
                                      f"input, got {img.shape[0]}x{img.shape[1]}")
+            except Exception as e:  # bad request: undecodable / wrong shape
+                self._reply_json(400, {"error": str(e) or "",
+                                       "type": type(e).__name__})
+                return
+            try:
                 res = pipeline_server.submit(img).result(
                     timeout=request_timeout)
-            except Exception as e:  # noqa: BLE001 — surfaces as HTTP 400
-                # str() of e.g. concurrent.futures.TimeoutError is empty —
-                # always carry the type so clients can tell timeout from
-                # bad input
-                self._reply_json(400, {"error": str(e) or "",
+            except FutTimeout as e:
+                # load balancers must see server trouble, not client error:
+                # 504 = batcher/pipeline missed the deadline
+                self._reply_json(504, {"error": str(e) or "",
+                                       "type": type(e).__name__})
+                return
+            except Exception as e:  # pipeline fault / server stopped -> 500
+                self._reply_json(500, {"error": str(e) or "",
                                        "type": type(e).__name__})
                 return
             if self.path == "/classify":

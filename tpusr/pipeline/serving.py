@@ -34,7 +34,16 @@ class PipelineServer:
     """
 
     def __init__(self, pipeline, batch_size: int = 16, max_wait_ms: float = 5.0):
+        import inspect
+
         self.pipeline = pipeline
+        # signature check ONCE (not try/except around the call: a TypeError
+        # raised inside the pipeline must fail the batch, not silently rerun)
+        try:
+            params = inspect.signature(pipeline).parameters
+            self._pass_n_valid = "n_valid" in params
+        except (TypeError, ValueError):
+            self._pass_n_valid = False
         self.batch_size = batch_size
         self.max_wait = max_wait_ms / 1000.0
         self._q: queue.Queue = queue.Queue()
@@ -119,7 +128,13 @@ class PipelineServer:
             if n < self.batch_size:  # pad to the fixed compiled shape
                 padrows = np.repeat(imgs[-1:], self.batch_size - n, axis=0)
                 imgs = np.concatenate([imgs, padrows])
-            sr, classes, confs = self.pipeline(imgs)
+            # n_valid marks the pad rows so modes that rank the batch (the
+            # cascade's top-K escalation) never spend slots on duplicated
+            # padding instead of real low-confidence images
+            if self._pass_n_valid:
+                sr, classes, confs = self.pipeline(imgs, n_valid=n)
+            else:  # plain callables without the n_valid contract
+                sr, classes, confs = self.pipeline(imgs)
             sr, classes, confs = jax.device_get((sr, classes, confs))
             for i, (_, fut) in enumerate(batch):
                 if not fut.done():  # a cancelled co-batched future must not

@@ -41,11 +41,48 @@ def _check_shared_mode(seed, full_m, sub_m):
                 f"({a} vs {b})")
 
 
+def merge_seed_runs(full: dict, extra: dict) -> dict:
+    """Append ``extra``'s runs for seeds the ``full`` report lacks.
+
+    Independent-seed certification accumulates across rounds this way: each
+    new-seed run is a complete gate run in itself (own dataset + training +
+    mode rows + raw votes), so appending it is exact — no cross-run
+    verification is possible or needed beyond task/protocol equality. The
+    aggregate is recomputed over all runs; per-mode ``seeds`` lists record
+    which seeds support each mode (subset runs give modes uneven support).
+    """
+    from tpusr.tools.serving_gate import aggregate_runs
+
+    if full.get("task") != extra.get("task"):
+        raise MergeError(f"task mismatch: {full.get('task')} vs "
+                         f"{extra.get('task')}")
+    have = {r["seed"] for r in full["runs"]}
+    proto = {k: v for k, v in full["runs"][0]["protocol"].items()}
+    added = []
+    for r in extra["runs"]:
+        if r["seed"] in have:
+            continue  # same-seed content merges via merge_reports
+        if r["protocol"] != proto:
+            raise MergeError(f"seed {r['seed']}: protocol differs from the "
+                             f"full report's ({r['protocol']} vs {proto})")
+        full["runs"].append(r)
+        added.append(r["seed"])
+    full["runs"].sort(key=lambda r: r["seed"])
+    full["aggregate"] = aggregate_runs(full["runs"])
+    full.setdefault("merged_from", []).append({
+        "seeds_added": added,
+        "note": "independent-seed runs appended "
+                "(tpusr.tools.gate_merge --append-seeds)"})
+    return full
+
+
 def merge_reports(full: dict, subset: dict) -> dict:
     """Return ``full`` with ``subset``'s new mode rows + raw votes grafted in.
 
     Mutates and returns ``full``. Raises MergeError when the two reports
-    disagree on task/protocol or on any shared mode's numbers.
+    disagree on task/protocol or on any shared mode's numbers. Seeds present
+    only in ``subset`` are ignored here — use merge_seed_runs/--append-seeds
+    for those.
     """
     from tpusr.tools.serving_gate import aggregate_runs
 
@@ -75,6 +112,19 @@ def merge_reports(full: dict, subset: dict) -> dict:
                 merged_modes.add(sm["mode"])
         if "raw_votes" in sr and "raw_votes" not in fr:
             fr["raw_votes"] = sr["raw_votes"]
+        elif "raw_votes" in sr:
+            # enrich: graft vote entries / per-mode keys (e.g. the trunk's
+            # vote_frac ranking scores) the full report lacks; shared keys
+            # must agree — same training, same votes
+            for mode, votes in sr["raw_votes"].items():
+                mine = fr["raw_votes"].setdefault(mode, {})
+                for key, val in votes.items():
+                    if key not in mine:
+                        mine[key] = val
+                    elif mine[key] != val:
+                        raise MergeError(
+                            f"seed {seed}: raw_votes[{mode!r}][{key!r}] "
+                            "differs between runs")
         if "cascade_rank_analysis" in sr and "cascade_rank_analysis" \
                 not in fr:
             fr["cascade_rank_analysis"] = sr["cascade_rank_analysis"]
@@ -94,16 +144,26 @@ def main(argv=None):
     ap.add_argument("--full", required=True)
     ap.add_argument("--subset", required=True)
     ap.add_argument("--out", required=True)
+    ap.add_argument("--append-seeds", action="store_true",
+                    help="append the subset's runs for seeds the full "
+                         "report lacks (independent-seed accumulation) "
+                         "instead of grafting mode rows into shared seeds")
     args = ap.parse_args(argv)
     with open(args.full) as f:
         full = json.load(f)
     with open(args.subset) as f:
         subset = json.load(f)
-    merged = merge_reports(full, subset)
+    if args.append_seeds:
+        merged = merge_seed_runs(full, subset)
+        added = merged["merged_from"][-1]["seeds_added"]
+        what = f"{len(added)} new seed runs"
+    else:
+        merged = merge_reports(full, subset)
+        added = merged["merged_from"][-1]["modes_added"]
+        what = f"{len(added)} new mode rows"
     with open(args.out, "w") as f:
         json.dump(merged, f, indent=2)
-    added = merged["merged_from"][-1]["modes_added"]
-    print(f"merged {len(added)} new mode rows into {args.out}: {added}")
+    print(f"merged {what} into {args.out}: {added}")
 
 
 if __name__ == "__main__":

@@ -103,6 +103,19 @@ def make_surface_images(seed: int, n: int, size: int = 512,
     return img, labels.astype(jnp.int32)
 
 
+def surface_labels(seed: int, n: int) -> np.ndarray:
+    """The labels `make_surface_images(seed, n, ...)` returns, WITHOUT
+    building the images — the label vector depends only on the seed's key
+    split (labels = arange(n) % 2 permuted by ks[6]), so offline tools
+    (gate_rederive) can recover the eval labels of a stored gate run.
+    Key math mirrors make_surface_images exactly; gate_rederive additionally
+    cross-checks recomputed accuracies against every stored mode row."""
+    ks = jax.random.split(jax.random.PRNGKey(seed), 9)
+    labels = jnp.arange(n) % 2
+    order = jax.random.permutation(ks[6], n)
+    return np.asarray(jnp.take(labels, order, axis=0).astype(jnp.int32))
+
+
 def make_crop_pool(seed: int, imgs: jnp.ndarray, labels: jnp.ndarray, k: int,
                    crop: int, align: int = 1):
     """k random crops as a device-resident pool: (crops, labels, offsets).
@@ -290,8 +303,50 @@ BOUNDARY_CONF = 0.65  # ref-confidence below this marks a "boundary" image
 CASCADE_THRESHOLDS = (0.60, 0.70, 0.80, 0.90)
 # static top-K escalation fractions certified for the serving cascade —
 # these rows mirror what cascade.py/bench.py actually execute (top_k by
-# score inside one jit graph)
-CASCADE_FRACS = (0.25, 0.375, 0.5)
+# score inside one jit graph). Round 5 widens the sweep downward (steps of
+# 1/32 = 4 images at N=128) to find the certified minimum with headroom for
+# the >=500 img/s serving default; rows are derived offline from raw votes,
+# so extra fracs cost nothing.
+CASCADE_FRACS = (0.15625, 0.1875, 0.21875, 0.25, 0.3125, 0.375, 0.5)
+
+
+def gate_row_name(sr_mode: str, clf_mode: str, border: bool = True,
+                  cascade_score: str = "conf",
+                  cascade_frac: float | None = None) -> str:
+    """The gate mode-row name a make_serving_pipeline configuration maps to.
+
+    This is the bridge the gate-consistency test uses to assert that the
+    bench/serve DEFAULTS are hard-gate certified: given the serving knobs,
+    return the row name to look up in the gate artifact's aggregate. Raises
+    on configurations the gate does not certify (so an uncertifiable default
+    fails tests instead of shipping silently).
+    """
+    if clf_mode == "cascade_int8":
+        if sr_mode not in ("f32", "bf16"):
+            raise ValueError("the gate certifies the cascade on f32/bf16 SR "
+                             f"only (got sr_mode={sr_mode!r})")
+        if cascade_frac is None:
+            raise ValueError("cascade_int8 needs cascade_frac")
+        prefix = "cascade_int8" if sr_mode == "f32" else "bf16_sr_cascade_int8"
+        return f"{prefix}[{cascade_score}]@frac={cascade_frac}"
+    key = {
+        ("f32", "per_patch_int8", True): "int8_per_patch",
+        ("f32", "shared_trunk_f32", True): "shared_trunk_f32",
+        ("f32", "shared_trunk_int8", True): "shared_trunk_int8",
+        ("bf16", "per_patch_int8", True): "bf16_sr_per_patch_int8",
+        ("bf16", "shared_trunk_int8", True): "bf16_sr_shared_trunk_int8",
+        ("int8", "per_patch_f32", True): "int8_sr_f32_per_patch",
+        ("int8", "per_patch_int8", True): "int8_sr_per_patch_int8",
+        ("int8", "shared_trunk_int8", True): "int8_sr_shared_trunk_int8",
+        ("int8", "shared_trunk_int8", False):
+            "int8_sr_noborder_shared_trunk_int8",
+    }.get((sr_mode, clf_mode, border))
+    if key is None:
+        raise ValueError(f"no gate row for sr_mode={sr_mode!r} "
+                         f"clf_mode={clf_mode!r} border={border} "
+                         "(per_patch_f32 on f32 SR is the reference path "
+                         "itself; other combos were never gated)")
+    return key
 
 
 def _lex_score(vote_frac, conf, n_patches):
@@ -301,7 +356,8 @@ def _lex_score(vote_frac, conf, n_patches):
     return vote_frac + conf * (0.5 / n_patches)
 
 
-def cascade_rank_analysis(raw_votes, ref_cls, trunk_scores, n_patches=100):
+def cascade_rank_analysis(raw_votes, ref_cls, trunk_scores, n_patches=100,
+                          trunk_mode="shared_trunk_int8"):
     """Which escalation score ranks the trunk's flips lowest?
 
     The cascade's static top-K escalation is safe iff every trunk-vs-
@@ -310,9 +366,9 @@ def cascade_rank_analysis(raw_votes, ref_cls, trunk_scores, n_patches=100):
     static escalation fraction. Derived offline from the gate's raw votes;
     'vote_frac+conf' is the lexicographic combination cascade.py implements
     for escalate_score='vote_frac'."""
-    if "shared_trunk_int8" not in raw_votes or trunk_scores is None:
+    if trunk_mode not in raw_votes or trunk_scores is None:
         return None
-    cls_t, conf_t = raw_votes["shared_trunk_int8"]
+    cls_t, conf_t = raw_votes[trunk_mode]
     n = len(cls_t)
     flips = np.flatnonzero(np.asarray(cls_t) != np.asarray(ref_cls))
     scores = {"conf": np.asarray(conf_t),
@@ -333,8 +389,21 @@ def cascade_rank_analysis(raw_votes, ref_cls, trunk_scores, n_patches=100):
     return out
 
 
+# cascade parent pairs: derived-row prefix -> (trunk mode, per-patch mode).
+# Each pair gets threshold + static-frac rows + a rank analysis; the bf16
+# pair certifies the bf16-SR serving cascade (same classifier parents run on
+# the bf16 SR image).
+CASCADE_PARENTS = {
+    "cascade_int8": ("shared_trunk_int8", "int8_per_patch"),
+    "bf16_sr_cascade_int8": ("bf16_sr_shared_trunk_int8",
+                             "bf16_sr_per_patch_int8"),
+}
+
+
 def derive_cascade_modes(raw_votes, ref_cls, ref_conf, labels_h,
-                         trunk_scores=None, n_patches=100):
+                         trunk_scores=None, n_patches=100,
+                         parents=("shared_trunk_int8", "int8_per_patch"),
+                         prefix="cascade_int8"):
     """Derived cascade rows (zero extra compute).
 
     cascade = shared-trunk int8 votes, but low-trunk-score images are
@@ -344,13 +413,15 @@ def derive_cascade_modes(raw_votes, ref_cls, ref_conf, labels_h,
     merge — this certifies the serving cascade at every CASCADE_THRESHOLDS
     confidence threshold AND (when trunk_scores carries vote_frac) every
     CASCADE_FRACS static top-K fraction for both ranking scores, without
-    re-running the networks.
+    re-running the networks. ``parents``/``prefix`` select the pair
+    (CASCADE_PARENTS): the default is the f32-SR cascade; the bf16 pair
+    derives the bf16-SR serving cascade the same way.
     """
-    if not ("shared_trunk_int8" in raw_votes and "int8_per_patch"
-            in raw_votes):
+    trunk_mode, pp_mode = parents
+    if not (trunk_mode in raw_votes and pp_mode in raw_votes):
         return []
-    cls_t, conf_t = raw_votes["shared_trunk_int8"]
-    cls_p, conf_p = raw_votes["int8_per_patch"]
+    cls_t, conf_t = raw_votes[trunk_mode]
+    cls_p, conf_p = raw_votes[pp_mode]
     out = []
 
     def add(name, esc):
@@ -364,7 +435,7 @@ def derive_cascade_modes(raw_votes, ref_cls, ref_conf, labels_h,
         out.append(entry)
 
     for T in CASCADE_THRESHOLDS:
-        add(f"cascade_int8@{T:.2f}", conf_t < T)
+        add(f"{prefix}@{T:.2f}", conf_t < T)
 
     rank_scores = {"conf": np.asarray(conf_t)}
     if trunk_scores is not None and "vote_frac" in trunk_scores:
@@ -379,7 +450,7 @@ def derive_cascade_modes(raw_votes, ref_cls, ref_conf, labels_h,
             # lax.top_k(-score) in cascade.py
             esc = np.zeros(n, bool)
             esc[np.argsort(s, kind="stable")[:k]] = True
-            add(f"cascade_int8[{sname}]@frac={frac}", esc)
+            add(f"{prefix}[{sname}]@frac={frac}", esc)
     return out
 
 
@@ -460,20 +531,34 @@ def run_gate(n_images=128, size=512, clf_steps=500, edsr_steps=600, seed=0,
                     or want("int8_sr_per_patch_int8")
                     or want("int8_sr_shared_trunk_int8"))
     need_int8_sr_nb = want("int8_sr_noborder_shared_trunk_int8")
+    need_bf16_sr = (want("bf16_sr_per_patch_int8")
+                    or want("bf16_sr_shared_trunk_int8"))
 
     log("building SR variants...")
     f32_fn, r = make_fused_sr_apply(edsr_params, scale, dtype=jnp.float32)
     sr_f32 = _apply_sr(f32_fn, r, lr_eval)
-    sr_int8 = sr_int8_nb = None
-    psnr_sr_drift = psnr_sr_nb_drift = None
-    ssim_sr_drift = ssim_sr_nb_drift = None
+    sr_int8 = sr_int8_nb = sr_bf16 = None
+    psnr_sr_drift = psnr_sr_nb_drift = psnr_sr_bf16_drift = None
+    ssim_sr_drift = ssim_sr_nb_drift = ssim_sr_bf16_drift = None
 
-    def _sr_drift(variant):
+    ssim_jit = jax.jit(ssim_fn)  # hoisted: traced once across SR variants
+
+    def _sr_drift(variant, chunk=16):
         # mean PSNR/SSIM of the variant's SR image vs the f32 SR image —
-        # chunked jits, everything device-resident, only 2 scalars out
-        ps = float(jnp.mean(psnr_fn(sr_f32, variant)))
-        ss = float(jnp.mean(jax.jit(ssim_fn)(sr_f32, variant)))
-        return ps, ss
+        # chunked like _apply_sr so HBM stays bounded at any --images,
+        # everything device-resident, only scalars out
+        n = sr_f32.shape[0]
+        chunk = min(chunk, n)
+        ps_sum = ss_sum = 0.0
+        for s in range(0, n, chunk):
+            a = jax.lax.dynamic_slice_in_dim(sr_f32, min(s, n - chunk),
+                                             chunk, 0)
+            b = jax.lax.dynamic_slice_in_dim(variant, min(s, n - chunk),
+                                             chunk, 0)
+            m = chunk if s + chunk <= n else n - s
+            ps_sum += float(jnp.sum(psnr_fn(a, b)[-m:]))
+            ss_sum += float(jnp.sum(ssim_jit(a, b)[-m:]))
+        return ps_sum / n, ss_sum / n
 
     if need_int8_sr:
         q_fn, _ = make_fused_sr_apply_int8(edsr_params, scale,
@@ -486,6 +571,11 @@ def run_gate(n_images=128, size=512, clf_steps=500, edsr_steps=600, seed=0,
                                               border_correction=False)
         sr_int8_nb = _apply_sr(q_fn_nb, r, lr_eval)
         psnr_sr_nb_drift, ssim_sr_nb_drift = _sr_drift(sr_int8_nb)
+    if need_bf16_sr:
+        bf16_fn, _ = make_fused_sr_apply(edsr_params, scale,
+                                         dtype=jnp.bfloat16)
+        sr_bf16 = _apply_sr(bf16_fn, r, lr_eval).astype(jnp.float32)
+        psnr_sr_bf16_drift, ssim_sr_bf16_drift = _sr_drift(sr_bf16)
 
     # classifier variants
     model = VGG16Classifier(num_classes=2)
@@ -509,8 +599,10 @@ def run_gate(n_images=128, size=512, clf_steps=500, edsr_steps=600, seed=0,
         "reference_boundary_images": int((ref_conf < BOUNDARY_CONF).sum()),
         "psnr_int8_sr_vs_f32_sr_db": psnr_sr_drift,
         "psnr_int8_noborder_sr_vs_f32_sr_db": psnr_sr_nb_drift,
+        "psnr_bf16_sr_vs_f32_sr_db": psnr_sr_bf16_drift,
         "ssim_int8_sr_vs_f32_sr": ssim_sr_drift,
         "ssim_int8_noborder_sr_vs_f32_sr": ssim_sr_nb_drift,
+        "ssim_bf16_sr_vs_f32_sr": ssim_sr_bf16_drift,
         "modes": [],
     }
 
@@ -542,17 +634,25 @@ def run_gate(n_images=128, size=512, clf_steps=500, edsr_steps=600, seed=0,
          lambda: shared_trunk_votes(
              lambda b: shared_trunk_probs_int8(qtree, b, PATCH, STRIDE),
              sr_int8_nb)),
+        # bf16-SR serving pair: same int8 classifier parents, run on the
+        # bf16 SR image (near-bit-faithful to f32 SR — drift recorded above)
+        ("bf16_sr_per_patch_int8",
+         lambda: per_patch_votes(int8_probs, sr_bf16)),
+        ("bf16_sr_shared_trunk_int8",
+         lambda: shared_trunk_votes(
+             lambda b: shared_trunk_probs_int8(qtree, b, PATCH, STRIDE),
+             sr_bf16, with_scores=True)),
     ]
     if mode_names is not None:  # subset for cheap harness smokes
         runs = [(n, f) for n, f in runs if n in mode_names]
-    raw_votes, trunk_scores = {}, None
+    raw_votes, trunk_scores_by_mode = {}, {}
     for name, fn in runs:
         log(f"{name}...")
         res = fn()
         cls, conf = res[0], res[1]
-        if len(res) == 4:  # shared_trunk_int8 carries cascade rank scores
-            trunk_scores = {"vote_frac": np.asarray(res[2]),
-                            "mean_margin": np.asarray(res[3])}
+        if len(res) == 4:  # a trunk mode carries cascade rank scores
+            trunk_scores_by_mode[name] = {"vote_frac": np.asarray(res[2]),
+                                          "mean_margin": np.asarray(res[3])}
         raw_votes[name] = (np.asarray(cls), np.asarray(conf))
         report["modes"].append(_compare(name, ref_cls, ref_conf, cls, conf,
                                         y_eval))
@@ -563,12 +663,18 @@ def run_gate(n_images=128, size=512, clf_steps=500, edsr_steps=600, seed=0,
     pad_h, pad_w = pad_amounts(size, size, PATCH, STRIDE)
     nh, nw = patch_grid_size(size + pad_h, size + pad_w, PATCH, STRIDE)
     n_patches = nh * nw
-    report["modes"].extend(
-        derive_cascade_modes(raw_votes, ref_cls, ref_conf, y_eval,
-                             trunk_scores=trunk_scores, n_patches=n_patches))
-    rank = cascade_rank_analysis(raw_votes, ref_cls, trunk_scores, n_patches)
-    if rank is not None:
-        report["cascade_rank_analysis"] = rank
+    for prefix, (tname, pname) in CASCADE_PARENTS.items():
+        ts = trunk_scores_by_mode.get(tname)
+        report["modes"].extend(
+            derive_cascade_modes(raw_votes, ref_cls, ref_conf, y_eval,
+                                 trunk_scores=ts, n_patches=n_patches,
+                                 parents=(tname, pname), prefix=prefix))
+        rank = cascade_rank_analysis(raw_votes, ref_cls, ts, n_patches,
+                                     trunk_mode=tname)
+        if rank is not None:
+            key = ("cascade_rank_analysis" if prefix == "cascade_int8"
+                   else f"{prefix}_rank_analysis")
+            report[key] = rank
 
     # raw per-image votes (small: N ints + N floats per mode) so thresholds
     # can be re-derived offline without re-training
@@ -579,9 +685,9 @@ def run_gate(n_images=128, size=512, clf_steps=500, edsr_steps=600, seed=0,
                   "conf": np.round(f, 4).tolist()}
            for name, (c, f) in raw_votes.items()},
     }
-    if trunk_scores is not None:
-        report["raw_votes"]["shared_trunk_int8"].update(
-            {k: np.round(v, 4).tolist() for k, v in trunk_scores.items()})
+    for tname, scores in trunk_scores_by_mode.items():
+        report["raw_votes"][tname].update(
+            {k: np.round(v, 4).tolist() for k, v in scores.items()})
 
     report["gate_standard"] = {
         "min_vote_agreement": 0.99,
@@ -600,10 +706,14 @@ def run_gate(n_images=128, size=512, clf_steps=500, edsr_steps=600, seed=0,
         "int8_sr_per_patch_int8": psnr_sr_drift,
         "int8_sr_shared_trunk_int8": psnr_sr_drift,
         "int8_sr_noborder_shared_trunk_int8": psnr_sr_nb_drift,
+        "bf16_sr_per_patch_int8": psnr_sr_bf16_drift,
+        "bf16_sr_shared_trunk_int8": psnr_sr_bf16_drift,
     }
     for m in report["modes"]:
         m["passes_gate"] = m["vote_agreement"] >= 0.99
         sr_psnr = sr_psnr_of_mode.get(m["mode"])
+        if sr_psnr is None and m["mode"].startswith("bf16_sr_cascade"):
+            sr_psnr = psnr_sr_bf16_drift  # derived rows serve the bf16 SR
         if sr_psnr is not None:
             m["sr_psnr_vs_f32_db"] = sr_psnr
             m["image_faithful"] = sr_psnr >= 35.0
@@ -639,9 +749,17 @@ def aggregate_runs(runs):
             r["reference_boundary_images"] for r in runs),
         "modes": [],
     }
+    seeds_of_mode = {}
+    for rep in runs:
+        for m in rep["modes"]:
+            seeds_of_mode.setdefault(m["mode"], []).append(rep["seed"])
     for name, ms in by_mode.items():
         entry = {
             "mode": name,
+            # seeds that actually ran this mode: subset --modes runs and
+            # seed-appended merges give modes uneven support, and a
+            # "passes on all seeds" claim is only as strong as this list
+            "seeds": seeds_of_mode[name],
             "min_vote_agreement": min(m["vote_agreement"] for m in ms),
             "mean_vote_agreement": float(np.mean([m["vote_agreement"]
                                                   for m in ms])),
