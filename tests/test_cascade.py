@@ -98,14 +98,15 @@ def test_accepts_prequantized_int8(setup):
     np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), atol=0)
 
 
-def test_escalate_frac_validation(setup):
-    qtree, _ = setup
+def test_escalate_frac_validation():
+    # validation raises before the qtree is touched — no fixture (the module
+    # fixture costs ~15s of VGG16 quantization compile in the quick loop)
     with pytest.raises(ValueError):
-        make_cascade_votes(qtree, PATCH, STRIDE, escalate_frac=0.0)
+        make_cascade_votes({}, PATCH, STRIDE, escalate_frac=0.0)
     with pytest.raises(ValueError):
-        make_cascade_votes(qtree, PATCH, STRIDE, escalate_frac=1.5)
+        make_cascade_votes({}, PATCH, STRIDE, escalate_frac=1.5)
     with pytest.raises(ValueError):
-        make_cascade_votes(qtree, PATCH, STRIDE, escalate_score="margin")
+        make_cascade_votes({}, PATCH, STRIDE, escalate_score="margin")
 
 
 def test_vote_frac_selection_fast(monkeypatch):

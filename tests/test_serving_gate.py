@@ -213,6 +213,76 @@ def test_gate_merge_grafts_new_modes_and_checks_shared():
                       {"task": task, "runs": []})
 
 
+def test_gate_merge_enriches_raw_votes_and_run_fields():
+    """A subset run's extra raw-vote keys (trunk ranking scores), run-level
+    rank analyses, and SR-drift scalars graft into the full report; shared
+    raw-vote keys that DISAGREE refuse the merge."""
+    from tpusr.tools.gate_merge import MergeError, merge_reports
+
+    shared = _mode("int8_per_patch", 1.0, 0, 0.01, True)
+    task = {"name": "hard"}
+
+    def report(extra=None):
+        r = {"seed": 0, "protocol": {"images": 4}, "training": {"s": 1},
+             "reference_accuracy": 0.9, "reference_boundary_images": 1,
+             "modes": [dict(shared)],
+             "psnr_bf16_sr_vs_f32_sr_db": None}
+        r.update(extra or {})
+        return r
+
+    full = {"task": task, "runs": [report(
+        {"raw_votes": {"shared_trunk_int8": {"cls": [0, 1]}}})]}
+    sub = {"task": task, "runs": [report(
+        {"raw_votes": {"shared_trunk_int8": {"cls": [0, 1],
+                                             "vote_frac": [0.5, 1.0]}},
+         "psnr_bf16_sr_vs_f32_sr_db": 55.2,
+         "bf16_sr_cascade_int8_rank_analysis": {"n_images": 4}})]}
+    merged = merge_reports(full, sub)
+    fr = merged["runs"][0]
+    assert fr["raw_votes"]["shared_trunk_int8"]["vote_frac"] == [0.5, 1.0]
+    assert fr["psnr_bf16_sr_vs_f32_sr_db"] == 55.2
+    assert fr["bf16_sr_cascade_int8_rank_analysis"] == {"n_images": 4}
+
+    conflict = {"task": task, "runs": [report(
+        {"raw_votes": {"shared_trunk_int8": {"cls": [1, 1]}}})]}
+    with pytest.raises(MergeError):
+        merge_reports(
+            {"task": task, "runs": [report(
+                {"raw_votes": {"shared_trunk_int8": {"cls": [0, 1]}}})]},
+            conflict)
+
+
+def test_gate_merge_append_seeds():
+    """Independent-seed accumulation: new-seed runs append whole; duplicate
+    seeds are skipped; protocol mismatch refuses; per-mode seed support is
+    recorded in the aggregate."""
+    from tpusr.tools.gate_merge import MergeError, merge_seed_runs
+
+    shared = _mode("int8_per_patch", 1.0, 0, 0.01, True)
+    task = {"name": "hard"}
+
+    def report(seed, images=4):
+        return {"seed": seed, "protocol": {"images": images},
+                "training": {"s": 1}, "reference_accuracy": 0.9,
+                "reference_boundary_images": 1, "modes": [dict(shared)]}
+
+    full = {"task": task, "runs": [report(0), report(1)]}
+    extra = {"task": task, "runs": [report(1), report(3)]}
+    merged = merge_seed_runs(full, extra)
+    assert [r["seed"] for r in merged["runs"]] == [0, 1, 3]
+    assert merged["merged_from"][-1]["seeds_added"] == [3]
+    m = merged["aggregate"]["modes"][0]
+    assert m["seeds"] == [0, 1, 3]
+    assert m["passes_gate_all_seeds"]
+
+    with pytest.raises(MergeError):
+        merge_seed_runs({"task": task, "runs": [report(0)]},
+                        {"task": task, "runs": [report(7, images=8)]})
+    with pytest.raises(MergeError):
+        merge_seed_runs({"task": {"name": "easy"}, "runs": [report(0)]},
+                        {"task": task, "runs": [report(7)]})
+
+
 def test_task_presets():
     assert set(TASKS) == {"easy", "hard"}
     for t in TASKS.values():

@@ -125,11 +125,18 @@ def merge_reports(full: dict, subset: dict) -> dict:
                         raise MergeError(
                             f"seed {seed}: raw_votes[{mode!r}][{key!r}] "
                             "differs between runs")
-        if "cascade_rank_analysis" in sr and "cascade_rank_analysis" \
-                not in fr:
-            fr["cascade_rank_analysis"] = sr["cascade_rank_analysis"]
         if "gate_standard" in sr and "gate_standard" not in fr:
             fr["gate_standard"] = sr["gate_standard"]
+        for key, val in sr.items():
+            # graft run-level analyses and SR-drift scalars the full run
+            # lacks (e.g. a bf16-modes subset carries
+            # psnr_bf16_sr_vs_f32_sr_db and bf16_sr_cascade_int8_rank_
+            # analysis that the original full run never computed)
+            if val is None or key in ("modes", "raw_votes", "elapsed_sec"):
+                continue
+            if (key.endswith("rank_analysis") or key.startswith("psnr_")
+                    or key.startswith("ssim_")) and fr.get(key) is None:
+                fr[key] = val
     full["aggregate"] = aggregate_runs(full["runs"])
     prov = full.setdefault("merged_from", [])
     prov.append({"modes_added": sorted(merged_modes),
