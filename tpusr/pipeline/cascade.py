@@ -3,7 +3,7 @@
 The shared-trunk classifier (tpusr.models.vgg_trunk) is ~2.9x fewer MACs
 than the reference per-patch protocol (VGG16_model.py:168-270) but differs
 from it by the per-patch SAME-conv zero-padding delta; at the hard gate
-operating point (GATE_r04.json, reference accuracy ~0.95) that drift flips
+operating point (GATE_r05.json, reference accuracy ~0.95) that drift flips
 votes on genuinely-near-boundary images and the trunk alone misses the
 pre-registered >=99% vote-agreement bar. The per-patch int8 path
 (`int8_per_patch`) is hard-gate certified with ZERO flips, but costs ~2.9x
@@ -17,18 +17,20 @@ flipped image that the trunk was *confident* about — exactly what the gate
 measures: `tpusr.tools.serving_gate` derives the cascade analytically from
 both parents' per-image votes at every threshold in CASCADE_THRESHOLDS and
 reports `unescalated_flips` plus the per-seed escalation fraction, so the
-static K here can be chosen with measured headroom (GATE_r04.json).
+static K here can be chosen with measured headroom (GATE_r05.json).
 
-Measured finding (GATE_r04.json raw_votes): T=0.80 certifies with ZERO
-flips on every hard-task seed, but the trunk's confidence is NOT uniformly
-well-ranked across trained models — one seed's trunk places its 4 flips at
-confidence ranks 64-67/128 (0.69-0.73, above its own median) even though
-they are the reference's 4 least-confident images, and 57.8% of its images
-sit below T=0.80. An uncalibrated deployment therefore needs
-``escalate_frac≈0.625``; models whose trunk confidence is well-calibrated
-(the other seeds) certify at 0.27-0.36. Calibrate per deployment: run the
-trunk on held-out data, set ``escalate_frac`` to the below-T mass at the
-gate-certified T plus margin.
+Measured finding (GATE_r05.json, 6 hard-task seeds — 3 selection-fresh):
+trunk CONFIDENCE is not a reliable escalation ranking — on 4 of 6 seeds
+the trunk is confident about images it flips (conf-ranked rows fail the
+99% bar at every fraction up to 0.5; the round-4 "calibrate per
+deployment" assumption was refuted out-of-sample). Patch-agreement
+ranking (``escalate_score='vote_frac'``) IS reliable: the conv-padding
+drift that flips a vote first shows up as patch disagreement, so flips
+rank low by construction. vote_frac@frac=0.25 passes the pre-registered
+>=99% vote-agreement gate on every seed (min 99.22%, 2 flips/768);
+frac=0.3125 has ZERO flips on all 6 seeds. vote_frac is the shipped
+default ranking (bench.py DEFAULT_MODE, the serve CLI, and
+tests/test_gate_consistency.py pin it to the artifact).
 
 TPU-native shape discipline: K is static (top_k + gather + scatter inside
 one jit graph — no data-dependent shapes), so the whole cascade fuses into
@@ -78,7 +80,7 @@ def make_cascade_votes(qtree: dict, patch: int = 96, stride: int = 48,
                      DISAGREEMENT is the direct signal of the conv-padding
                      drift that flips votes; the gate's
                      `cascade_rank_analysis` measures which score ranks
-                     real flips lower per seed (GATE_r04.json).
+                     real flips lower per seed (GATE_r05.json).
     """
     if not 0.0 < escalate_frac <= 1.0:
         raise ValueError(f"escalate_frac must be in (0, 1], got "

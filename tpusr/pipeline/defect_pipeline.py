@@ -232,8 +232,9 @@ def make_serving_pipeline(edsr_params, clf_params, lr_hw: tuple[int, int],
               re-classified by the exact per-patch int8 path
               (tpusr.pipeline.cascade; ``cascade_escalate_score`` in
               {'conf', 'vote_frac'} picks the ranking signal — certified
-              per threshold/fraction/score in GATE_r04.json's derived
-              cascade rows and `cascade_rank_analysis`).
+              per threshold/fraction/score in GATE_r05.json's derived
+              cascade rows and `cascade_rank_analysis`; 'vote_frac' is
+              the certified default, 'conf' was demoted on fresh seeds).
 
     Every non-parity mode is a serving mode in the int8 sense: validated at
     protocol scale by ``python -m tpusr.tools.serving_gate`` (>=99% vote
