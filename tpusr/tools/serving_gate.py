@@ -307,7 +307,12 @@ CASCADE_THRESHOLDS = (0.60, 0.70, 0.80, 0.90)
 # 1/32 = 4 images at N=128) to find the certified minimum with headroom for
 # the >=500 img/s serving default; rows are derived offline from raw votes,
 # so extra fracs cost nothing.
-CASCADE_FRACS = (0.15625, 0.1875, 0.21875, 0.25, 0.3125, 0.375, 0.5)
+# 0.265625-0.296875 sit between the round-5 fail (0.25) and pass (0.3125)
+# points of the vote_frac cascades: the per-seed zero-flip minima top out
+# at 0.296875 (rank analyses), so the sweep brackets the exact certified
+# minimum instead of overshooting it by half a step
+CASCADE_FRACS = (0.15625, 0.1875, 0.21875, 0.25, 0.265625, 0.28125,
+                 0.296875, 0.3125, 0.375, 0.5)
 
 
 def gate_row_name(sr_mode: str, clf_mode: str, border: bool = True,
