@@ -8,7 +8,10 @@ one jit'd graph on a single TPU chip.
 Methodology: the timed region is a `fori_loop` chain of N_CHAIN pipeline
 iterations INSIDE one jit, each iteration's input derived from the previous
 SR output — so every iteration does real, data-dependent device work and
-host/tunnel round-trip latency is amortized out.
+host/tunnel round-trip latency is amortized out (measured ~7.7 ms per
+dispatch; <0.1% at the default chain depth 32). The loop bound is passed
+as a traced scalar, not a Python constant: a constant bound lets XLA
+unroll the chain, making compile time scale with depth.
 
 Output: ONE JSON line {"metric", "value", "unit", "vs_baseline", "frontier"}.
 `value` is the default serving mode's throughput; `frontier` carries the full
@@ -25,7 +28,7 @@ BENCH_MODE=<name> overrides the default mode; BENCH_BATCH, BENCH_CHAIN,
 BENCH_REPS as before. The default mode is measured FIRST and BENCH_BUDGET_S
 (default 3000) bounds the whole run: when the budget runs out, remaining
 frontier rows are emitted as {"skipped": true} instead of risking the
-driver's timeout on 7 cold compiles — the headline number always lands.
+driver's timeout on 13 cold compiles — the headline number always lands.
 """
 
 import json
@@ -122,15 +125,20 @@ MODES = {
 }
 # Default = the fastest mode that passes the pre-registered hard-task gate
 # (>= 99% vote agreement vs the f32 per-patch reference path) on EVERY seed
-# of GATE_r05.json — 6 seeds x 128 images, 3 seeds selection-fresh. That is
-# the vote_frac-ranked confidence cascade at escalate_frac=0.25 (min 99.22%
-# agreement, 2 flips / 768 images, no calibration assumption; the zero-flip
-# variant at frac=0.3125 is the stricter tier). The shared-trunk / int8-SR
-# / conf-ranked-cascade modes fail the hard gate and are frontier rows only
-# (accuracy is preserved on their flips: the reference vote itself is a
-# near-coin-flip there, but the gate bar is vote agreement, not accuracy).
-# tests/test_gate_consistency.py pins this default to the shipped artifact.
-DEFAULT_MODE = "cascade_int8_votefrac"
+# of GATE_r05.json — 6 seeds x 128 images, 3 seeds selection-fresh — AND
+# whose SR output is image-faithful (>= 35 dB PSNR vs f32 SR). That is the
+# bf16-SR vote_frac-ranked confidence cascade at escalate_frac=0.28125 (the
+# certified minimum at single-image granularity: 35/128 fails with 3 flips;
+# min 99.22% agreement, 2 flips / 768 images, bf16 SR at 35.7-35.8 dB on
+# every seed, no calibration assumption). Measured 500.6 img/s at the
+# default chain depth — the >=500 BASELINE.json target, crossed with a
+# certified mode. The zero-flip tier is frac=0.3125 (both SR dtypes). The
+# shared-trunk / int8-SR / conf-ranked-cascade modes fail the hard gate and
+# are frontier rows only (accuracy is preserved on their flips: the
+# reference vote itself is a near-coin-flip there, but the gate bar is vote
+# agreement, not accuracy). tests/test_gate_consistency.py pins this
+# default to the shipped artifact.
+DEFAULT_MODE = "cascade_bf16sr_votefrac"
 
 
 def build_chain(mode_cfg, sr_params, clf_params_f32, lr_hw, scale, patch,
@@ -237,8 +245,14 @@ def build_chain(mode_cfg, sr_params, clf_params_f32, lr_hw, scale, patch,
                + confs[:, None, None, None] * 1e-6)
         return nxt
 
-    chain = jax.jit(lambda x: jax.lax.fori_loop(
-        0, n_chain, lambda i, z: one_iter(z), x))
+    # the chain bound is a TRACED scalar, not a Python constant: a constant
+    # trip count lets XLA fully unroll the loop, so compile time scales with
+    # BENCH_CHAIN (chain=16 was >13 min; the while-loop lowering compiles the
+    # body once at any depth and its per-iteration condition check is noise
+    # against the ~250 ms body)
+    jitted = jax.jit(lambda x, n: jax.lax.fori_loop(
+        0, n, lambda i, z: one_iter(z), x))
+    chain = lambda x: jitted(x, jnp.int32(n_chain))
     return chain, batch
 
 
@@ -280,7 +294,10 @@ def main():
         raise SystemExit(f"BENCH_MODE={default_mode!r} unknown; "
                          f"choose from {sorted(MODES)}")
     frontier_on = os.environ.get("BENCH_FRONTIER", "1") == "1"
-    n_chain = int(os.environ.get("BENCH_CHAIN", "3"))
+    # 32 iterations per call amortize the per-call host/tunnel overhead
+    # (~7.7 ms measured by a chain-depth sweep) to <0.1% of the ~250 ms
+    # iteration; the traced loop bound keeps compile time depth-independent
+    n_chain = int(os.environ.get("BENCH_CHAIN", "32"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     lr_hw = (128, 128)
     scale = 4

@@ -296,3 +296,40 @@ def test_serving_pipeline_cascade_mode(setup):
     np.testing.assert_array_equal(np.asarray(cls), np.asarray(want_cls))
     np.testing.assert_allclose(np.asarray(conf), np.asarray(want_conf),
                                atol=1e-6)
+
+
+def test_escalation_count_ceils_not_rounds(monkeypatch):
+    """K = ceil(N * frac): at the certified frac=0.28125 and a served batch
+    of 16, round() would bankers-round 4.5 DOWN to 4 = an effective fraction
+    0.25 below the certified minimum; ceil gives 5. Escalating more is always
+    safe (the per-patch target is the certified path), escalating less
+    silently voids the certification."""
+    import tpusr.pipeline.cascade as casc
+
+    n = 16
+    imgs = (jnp.arange(n * 2 * 2 * 3, dtype=jnp.float32)
+            .reshape(n, 2, 2, 3) / (n * 12.0))
+    img_means = imgs.mean(axis=(1, 2, 3))
+    # one patch per image (patch=stride=2); trunk: class 0 with strictly
+    # increasing confidence so the 5 lowest-ranked images are 0..4
+    p1 = 0.6 + 0.02 * jnp.arange(n)
+    trunk_probs = jnp.stack([p1, 1.0 - p1], axis=-1)[:, None, :]
+
+    def pp_apply(qtree, flat):
+        means = flat.mean(axis=(1, 2, 3))
+        idx = jnp.argmin(jnp.abs(means[:, None] - img_means[None, :]), axis=1)
+        return jnp.tile(jnp.array([[0.1, 0.9]]), (idx.shape[0], 1))
+
+    monkeypatch.setattr(casc, "quantize_input", lambda q, x: x)
+    monkeypatch.setattr(casc, "shared_trunk_probs_int8",
+                        lambda q, x, p, s: trunk_probs)
+    monkeypatch.setattr(casc, "quantized_vgg16_apply", pp_apply)
+
+    cls, _ = make_cascade_votes({}, patch=2, stride=2,
+                                escalate_frac=0.28125)(imgs)
+    cls = np.asarray(cls)
+    # escalated rows flip to the per-patch class 1; exactly ceil(4.5)=5 of
+    # them, and they are the 5 lowest-confidence images
+    assert cls.sum() == 5, cls
+    np.testing.assert_array_equal(cls[:5], 1)
+    np.testing.assert_array_equal(cls[5:], 0)

@@ -83,6 +83,9 @@ def test_bench_default_mode_is_certified(gate, agg_modes):
     # certified on EVERY seed in the artifact, including the fresh ones
     assert set(m["seeds"]) == set(gate["aggregate"]["seeds"]), m["seeds"]
     assert len(set(m["seeds"]) - SELECTION_SEEDS) >= 3
+    # the headline default must serve a faithful SR image, not classify-only
+    # (rows without the flag are f32-SR: faithful by construction)
+    assert m.get("image_faithful_all_seeds", True), m
     # the stricter zero-flip tier must also ship as a frontier row
     zf = bench.MODES.get("cascade_int8_votefrac_zeroflip")
     assert zf is not None

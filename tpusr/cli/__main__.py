@@ -851,11 +851,14 @@ def build_parser():
     sp.add_argument("--stride", type=int, default=48)
     sp.add_argument("--num-classes", type=int, default=2)
     # serve defaults = the hard-gate-certified cascade (GATE_r05.json:
-    # f32 SR + vote_frac-ranked cascade_int8 at frac 0.25, 0 flips on every
-    # hard-task seed, no calibration assumed). tests/test_gate_consistency.py
-    # asserts these defaults stay certified — a future demotion fails tests
-    # instead of silently shipping.
-    sp.add_argument("--sr-mode", default="f32",
+    # bf16 SR — image-faithful at 35.7-35.8 dB vs f32 SR on every seed —
+    # + vote_frac-ranked cascade_int8 at the certified-minimum frac 0.28125,
+    # min 99.22% vote agreement across 6 hard-task seeds, no calibration
+    # assumed; 500+ img/s measured on one chip). The same configuration is
+    # bench.py's DEFAULT_MODE; tests/test_gate_consistency.py asserts both
+    # stay certified — a future demotion fails tests instead of silently
+    # shipping.
+    sp.add_argument("--sr-mode", default="bf16",
                     choices=("f32", "bf16", "int8"))
     sp.add_argument("--clf-mode", default="cascade_int8",
                     choices=("per_patch_f32", "per_patch_int8",
@@ -866,10 +869,12 @@ def build_parser():
                     help="cascade_int8: escalation ranking signal — patch-"
                          "agreement fraction (certified) or trunk vote "
                          "confidence (GATE_r05.json cascade_rank_analysis)")
-    sp.add_argument("--cascade-frac", type=float, default=0.25,
+    sp.add_argument("--cascade-frac", type=float, default=0.28125,
                     help="cascade_int8: fraction of each batch (the lowest-"
                          "scored trunk votes) escalated to the exact "
-                         "per-patch int8 path (GATE_r05.json cascade rows)")
+                         "per-patch int8 path (GATE_r05.json cascade rows; "
+                         "0.28125 is the certified minimum for bf16 SR, "
+                         "0.3125 the zero-flip tier)")
     sp.add_argument("--no-border", action="store_true",
                     help="drop the int8 SR border band (classify-only mode: "
                          "fastest, SR output not image-faithful — see "

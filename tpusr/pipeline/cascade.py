@@ -39,6 +39,8 @@ the serving pipeline's single compiled step.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -56,12 +58,17 @@ def make_cascade_votes(qtree: dict, patch: int = 96, stride: int = 48,
     Returns ``votes(images, n_valid=None) -> (classes, confidences)`` —
     jittable, static shapes. ``images``: (N, H, W, 3) [0,1] f32 or
     pre-quantized int8 from ``quantize_input``. Per trace,
-    ``K = max(1, round(N * escalate_frac))`` lowest-trunk-score images are
+    ``K = max(1, ceil(N * escalate_frac))`` lowest-trunk-score images are
     re-classified with the exact per-patch int8 path (the GATE-certified
     mode); the rest keep their shared-trunk votes. Escalating a confident
     image is harmless (it can only receive the certified vote), so K needs
     only to EXCEED the gate's measured below-threshold fraction, not match
-    it.
+    it. ceil (not round) so a served batch can never escalate a SMALLER
+    fraction than certified: at the certified frac=0.28125 and batch 16,
+    round(4.5) would bankers-round DOWN to 4 = frac 0.25 — below the
+    certified minimum; ceil gives 5. At the gate's own N=128 every
+    CASCADE_FRACS value is an exact multiple of 1/128, so ceil == round
+    there and certified fractions transfer unchanged.
 
     ``n_valid`` (traced int scalar, default all-N) marks rows >= n_valid as
     batch padding: their scores are forced to +inf so they can NEVER consume
@@ -69,7 +76,7 @@ def make_cascade_votes(qtree: dict, patch: int = 96, stride: int = 48,
     last real image — without the mask, duplicate low-score pad rows would
     displace genuinely low-confidence real images from the top-K and
     silently shrink the certified escalation coverage over REAL images. With
-    the mask, K >= round(n_valid * escalate_frac) real images always
+    the mask, K >= ceil(n_valid * escalate_frac) real images always
     escalate (escalating leftover pad rows when K > n_valid is harmless).
 
     ``escalate_score`` ranks the batch for escalation:
@@ -111,7 +118,7 @@ def make_cascade_votes(qtree: dict, patch: int = 96, stride: int = 48,
         if n_valid is not None:  # pad rows must never win escalation slots
             score = jnp.where(jnp.arange(n) < n_valid, score, jnp.inf)
 
-        k = max(1, min(n, round(n * escalate_frac)))
+        k = max(1, min(n, math.ceil(n * escalate_frac - 1e-9)))
         _, idx = jax.lax.top_k(-score, k)       # k lowest-scored images
         sel = jnp.take(images, idx, axis=0)
 

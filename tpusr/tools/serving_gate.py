@@ -310,9 +310,13 @@ CASCADE_THRESHOLDS = (0.60, 0.70, 0.80, 0.90)
 # 0.265625-0.296875 sit between the round-5 fail (0.25) and pass (0.3125)
 # points of the vote_frac cascades: the per-seed zero-flip minima top out
 # at 0.296875 (rank analyses), so the sweep brackets the exact certified
-# minimum instead of overshooting it by half a step
-CASCADE_FRACS = (0.15625, 0.1875, 0.21875, 0.25, 0.265625, 0.28125,
-                 0.296875, 0.3125, 0.375, 0.5)
+# minimum instead of overshooting it by half a step. 0.2734375 (35/128)
+# and 0.3046875 (39/128) refine the sweep to single-image granularity at
+# N=128 around the certified >=99% and zero-flip minima — every escalated
+# image costs ~1.4 ms/batch at the bench geometry, so the serving default
+# runs at the exact minimum, not half a step above it.
+CASCADE_FRACS = (0.15625, 0.1875, 0.21875, 0.25, 0.265625, 0.2734375,
+                 0.28125, 0.296875, 0.3046875, 0.3125, 0.375, 0.5)
 
 
 def gate_row_name(sr_mode: str, clf_mode: str, border: bool = True,
