@@ -28,7 +28,7 @@ BENCH_MODE=<name> overrides the default mode; BENCH_BATCH, BENCH_CHAIN,
 BENCH_REPS as before. The default mode is measured FIRST and BENCH_BUDGET_S
 (default 3000) bounds the whole run: when the budget runs out, remaining
 frontier rows are emitted as {"skipped": true} instead of risking the
-driver's timeout on 13 cold compiles — the headline number always lands.
+driver's timeout on 12 cold compiles — the headline number always lands.
 """
 
 import json

@@ -333,3 +333,46 @@ def test_escalation_count_ceils_not_rounds(monkeypatch):
     assert cls.sum() == 5, cls
     np.testing.assert_array_equal(cls[:5], 1)
     np.testing.assert_array_equal(cls[5:], 0)
+
+
+@pytest.mark.slow  # ~155s: compiles the full serving pipeline graph on CPU
+def test_serving_pipeline_bf16_cascade_mode(setup):
+    """The SHIPPED serving default (sr_mode='bf16' + clf_mode='cascade_int8',
+    GATE_r05.json / bench.py DEFAULT_MODE / `tpusr serve`): the SR output is
+    the bf16 fused-tail path and the votes match cascade_votes applied to
+    that same SR output, exactly as in the f32 twin above."""
+    from tpusr.models import EDSR
+    from tpusr.models.edsr_fast import make_fused_sr_apply
+    from tpusr.models.layers import pixel_shuffle
+    from tpusr.pipeline import make_serving_pipeline
+
+    qtree, _ = setup
+    rng = np.random.default_rng(7)
+    sr_model = EDSR(scale_factor=2, num_res_blocks=1)
+    sv = sr_model.init(jax.random.PRNGKey(5),
+                       jnp.zeros((1, 32, 32, 3)))["params"]
+    clf_model = VGG16Classifier(num_classes=2, dropout_rate=0.0)
+    cv = clf_model.init(jax.random.PRNGKey(6),
+                        jnp.zeros((1, PATCH, PATCH, 3)))["params"]
+    calib = rng.random((4, PATCH, PATCH, 3)).astype(np.float32)
+
+    pipe = make_serving_pipeline(
+        sv, cv, lr_hw=(32, 32), scale=2, patch=PATCH, stride=STRIDE,
+        sr_mode="bf16", clf_mode="cascade_int8", calib_patches=calib,
+        cascade_escalate_frac=0.28125, cascade_escalate_score="vote_frac")
+    lr = rng.random((4, 32, 32, 3)).astype(np.float32)
+    sr, cls, conf = pipe(lr)
+
+    from tpusr.models.quant import calibrate_vgg16 as _cal
+    qt = quantize_vgg16(cv, _cal(cv, calib))
+    poly_fn, r = make_fused_sr_apply(sv, 2, dtype=jnp.bfloat16)
+    sr_ref = pixel_shuffle(poly_fn(jnp.asarray(lr)), r).astype(jnp.float32)
+    # bf16 twin of the f32 test's ulp note: one jit graph vs two-call
+    # composition — allow a few bf16 quanta
+    np.testing.assert_allclose(np.asarray(sr), np.asarray(sr_ref), atol=3e-2)
+    want_cls, want_conf = make_cascade_votes(
+        qt, PATCH, STRIDE, 0.28125, escalate_score="vote_frac")(
+        jnp.asarray(np.asarray(sr)))
+    np.testing.assert_array_equal(np.asarray(cls), np.asarray(want_cls))
+    np.testing.assert_allclose(np.asarray(conf), np.asarray(want_conf),
+                               atol=1e-6)
