@@ -76,45 +76,51 @@ MODES = {
                  "assumption was refuted on fresh seeds (conf ranking needs "
                  "up to frac 0.86 for zero flips)"),
     # vote_frac-ranked cascade (cascade.py escalate_score='vote_frac'):
-    # patch-disagreement ranking. GATE_r05.json (6 seeds — 3 of them fresh,
-    # not used to select the score — x 128 images): frac=0.25 passes the
-    # pre-registered >=99% vote-agreement gate on every seed (min 99.22%,
-    # 2 flips / 768 images); frac=0.3125 has ZERO flips on every seed.
+    # patch-disagreement ranking. The UNGUARDED cascade passed 6 seeds but
+    # the round-5 seed extension found a fresh draw (seed 8) whose full-
+    # image trunk COLLAPSES — unanimous, high-confidence, high-agreement
+    # wrong votes that no escalation ranking can catch (agreement 0.62).
+    # The guard (cascade.py guard_threshold=0.6) detects collapse from the
+    # escalated subset's trunk-vs-per-patch disagreement (healthy <=0.44,
+    # collapsed 1.00) and falls back to full per-patch — the guarded rows
+    # are the only cascades passing all NINE GATE_r05.json seeds.
     "cascade_int8_votefrac": dict(
         sr="f32", border=True, clf="cascade_int8", frac=0.25,
         score="vote_frac",
-        fidelity="hard-gate certified (pre-registered >=99% vote-agreement "
-                 "bar, GATE_r05.json all 6 seeds, min 99.22%, 2 flips in "
-                 "768 images, no calibration assumed); zero-flip variant: "
-                 "cascade_int8_votefrac_zeroflip"),
-    "cascade_int8_votefrac_zeroflip": dict(
+        fidelity="DEMOTED by the round-5 seed extension (GATE_r05.json "
+                 "seed 8: trunk collapse, agreement 0.62 — no ranking can "
+                 "escalate it); use cascade_int8_votefrac_guarded"),
+    "cascade_int8_votefrac_guarded": dict(
+        sr="f32", border=True, clf="cascade_int8", frac=0.25,
+        score="vote_frac", guard=0.6,
+        fidelity="hard-gate certified on ALL NINE GATE_r05.json hard-task "
+                 "seeds (1152 images, min 99.22% vote agreement, 3 flips; "
+                 "pre-registered >=99% bar, no calibration assumed): "
+                 "cascade_int8[vote_frac+guard]@frac=0.25 — the trunk-"
+                 "collapse guard catches the seed-8 failure the unguarded "
+                 "rows miss; f32 SR (image-faithful by construction)"),
+    "cascade_int8_votefrac_strict": dict(
         sr="f32", border=True, clf="cascade_int8", frac=0.3125,
-        score="vote_frac",
-        fidelity="hard-gate certified, ZERO flips on all 6 GATE_r05.json "
-                 "hard-task seeds (768 images), no calibration assumed "
-                 "(per-seed zero-flip minima 0.03-0.3125, "
-                 "cascade_rank_analysis)"),
-    # bf16-SR cascade: the SR stage in bf16 (vs f32) shaves the dominant
-    # non-classifier cost; bf16 SR is image-faithful (35.7-35.8 dB vs f32
-    # SR on every GATE_r05.json seed, above the 35 dB bound), unlike the
-    # int8 SR whose image the gate ruled unfaithful. Certified minimum
-    # fraction 0.28125 (0.25 fails with 3 flips / 98.44% on one seed —
-    # the bf16 SR drift nudges one extra boundary vote vs f32 SR's 0.25).
+        score="vote_frac", guard=0.6,
+        fidelity="strictest cascade tier: 1 flip in 1152 images across all "
+                 "9 seeds (cascade_int8[vote_frac+guard]@frac=0.3125); a "
+                 "zero-flip tier no longer exists — seed 6's single "
+                 "escalation-target flip (int8_per_patch, 99.22%) is "
+                 "irreducible for every int8 mode"),
+    # bf16-SR rows: DEMOTED by the seed extension. bf16 SR stays image-
+    # faithful (35.6-35.8 dB vs f32 SR on all 9 seeds) but its boundary-
+    # vote drift costs 2 flips on seed 6's per-patch target (98.44% < the
+    # 99% bar) — and a cascade cannot beat its own escalation target.
+    # Measured frontier rows only; they certified on the first 6 seeds
+    # (min 99.22%) and are the right choice under a >=98.4% bar.
     "cascade_bf16sr_votefrac": dict(
         sr="bf16", border=True, clf="cascade_int8", frac=0.28125,
-        score="vote_frac",
-        fidelity="hard-gate certified (>=99% vote-agreement bar, "
-                 "GATE_r05.json bf16_sr_cascade_int8[vote_frac]@frac="
-                 "0.28125: all 6 seeds, min 99.22%, 2 flips in 768 images, "
-                 "no calibration assumed); bf16 SR image-faithful at "
-                 "35.7-35.8 dB vs f32 SR; zero-flip variant: "
-                 "cascade_bf16sr_votefrac_zeroflip"),
-    "cascade_bf16sr_votefrac_zeroflip": dict(
-        sr="bf16", border=True, clf="cascade_int8", frac=0.3125,
-        score="vote_frac",
-        fidelity="hard-gate certified, ZERO flips on all 6 GATE_r05.json "
-                 "hard-task seeds (768 images, bf16_sr_cascade_int8"
-                 "[vote_frac]@frac=0.3125), bf16 SR image-faithful"),
+        score="vote_frac", guard=0.6,
+        fidelity="DEMOTED at the 99% bar by the round-5 seed extension "
+                 "(GATE_r05.json seed 6: the bf16-SR per-patch escalation "
+                 "target itself has 2 boundary flips, 98.44%); certified "
+                 "min 98.44% / mean 99.57% over 9 seeds, bf16 SR image-"
+                 "faithful at 35.6-35.8 dB vs f32 SR"),
     "bf16": dict(
         sr="bf16", border=True, clf="per_patch_bf16",
         fidelity="bf16 numerics, exact protocol and graph"),
@@ -125,20 +131,22 @@ MODES = {
 }
 # Default = the fastest mode that passes the pre-registered hard-task gate
 # (>= 99% vote agreement vs the f32 per-patch reference path) on EVERY seed
-# of GATE_r05.json — 6 seeds x 128 images, 3 seeds selection-fresh — AND
-# whose SR output is image-faithful (>= 35 dB PSNR vs f32 SR). That is the
-# bf16-SR vote_frac-ranked confidence cascade at escalate_frac=0.28125 (the
-# certified minimum at single-image granularity: 35/128 fails with 3 flips;
-# min 99.22% agreement, 2 flips / 768 images, bf16 SR at 35.7-35.8 dB on
-# every seed, no calibration assumption). Measured 500.6 img/s at the
-# default chain depth — the >=500 BASELINE.json target, crossed with a
-# certified mode. The zero-flip tier is frac=0.3125 (both SR dtypes). The
-# shared-trunk / int8-SR / conf-ranked-cascade modes fail the hard gate and
-# are frontier rows only (accuracy is preserved on their flips: the
-# reference vote itself is a near-coin-flip there, but the gate bar is vote
-# agreement, not accuracy). tests/test_gate_consistency.py pins this
-# default to the shipped artifact.
-DEFAULT_MODE = "cascade_bf16sr_votefrac"
+# of GATE_r05.json — NINE seeds x 128 images, 6 of them selection-fresh —
+# AND whose SR output is image-faithful. That is the GUARDED f32-SR
+# vote_frac cascade at frac=0.25 (min 99.22%, 3 flips / 1152 images, no
+# calibration assumption). The round-5 seed extension demoted the two
+# previous default candidates honestly: the unguarded cascade dies on a
+# fresh seed whose trunk collapses (seed 8, agreement 0.62), and every
+# bf16-SR mode dies on a fresh seed where bf16 boundary drift costs 2
+# flips in its own escalation target (seed 6, 98.44% — so the 500.5 img/s
+# bf16 default certified on 6 seeds did NOT survive 9; it remains the
+# fastest >=98.4%-certified image-faithful row). The shared-trunk /
+# int8-SR / conf-ranked modes fail the hard gate and are frontier rows
+# only (accuracy is preserved on their flips: the reference vote itself is
+# a near-coin-flip there, but the gate bar is vote agreement, not
+# accuracy). tests/test_gate_consistency.py pins this default to the
+# shipped artifact.
+DEFAULT_MODE = "cascade_int8_votefrac_guarded"
 
 
 def build_chain(mode_cfg, sr_params, clf_params_f32, lr_hw, scale, patch,
@@ -211,9 +219,10 @@ def build_chain(mode_cfg, sr_params, clf_params_f32, lr_hw, scale, patch,
                                     str(mode_cfg["frac"])))
         score = os.environ.get("BENCH_CASCADE_SCORE",
                                mode_cfg.get("score", "conf"))
-        cascade_votes = make_cascade_votes(qtree, patch, stride,
-                                           escalate_frac=frac,
-                                           escalate_score=score)
+        cascade_votes = make_cascade_votes(
+            qtree, patch, stride, escalate_frac=frac,
+            escalate_score=score,
+            guard_threshold=mode_cfg.get("guard"))
 
     def one_iter(x):
         sr_p = sr_fused(x)                  # (N, 128, 128, scale^2*3), [0,1]

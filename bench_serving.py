@@ -1,7 +1,8 @@
 """Serving latency bench: p50/p99 request latency + goodput of the
 micro-batching PipelineServer at the bench geometry (128x128 LR -> x4 SR ->
-96/48 patch-vote), on the hard-gate-certified serving default (f32 EDSR +
-vote_frac-ranked int8 confidence cascade, GATE_r05.json).
+96/48 patch-vote), on the hard-gate-certified serving default (bf16 EDSR +
+vote_frac-ranked int8 confidence cascade at frac=0.28125, GATE_r05.json —
+the same configuration as bench.py/`tpusr serve`).
 
 Two methodologies, reported separately (PERF.md):
 
@@ -35,11 +36,11 @@ import time
 import numpy as np
 
 
-def make_default_pipeline(batch_size, sr_mode="f32", clf_mode="cascade_int8",
-                          cascade_score="vote_frac", cascade_frac=0.25):
+def make_default_pipeline(batch_size, sr_mode="bf16", clf_mode="cascade_int8",
+                          cascade_score="vote_frac", cascade_frac=0.28125):
     """The hard-gate-certified serving default on random weights (latency is
-    weight-independent): f32 fused-tail EDSR + int8 VGG16 confidence cascade
-    (vote_frac ranking, frac 0.25 — GATE_r05.json). Other gated modes via
+    weight-independent): bf16 fused-tail EDSR + int8 VGG16 confidence cascade
+    (vote_frac ranking, frac 0.28125 — GATE_r05.json). Other gated modes via
     kwargs."""
     import jax
     import jax.numpy as jnp
@@ -179,10 +180,10 @@ def main():
     ap.add_argument("--requests", type=int, default=64)
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--max-wait-ms", type=float, default=5.0)
-    ap.add_argument("--sr-mode", default="f32")
+    ap.add_argument("--sr-mode", default="bf16")
     ap.add_argument("--clf-mode", default="cascade_int8")
     ap.add_argument("--cascade-score", default="vote_frac")
-    ap.add_argument("--cascade-frac", type=float, default=0.25)
+    ap.add_argument("--cascade-frac", type=float, default=0.28125)
     ap.add_argument("--device-side", action="store_true",
                     help="measure the on-chip service-time distribution and "
                          "derive co-located request latency (no tunnel)")

@@ -376,3 +376,74 @@ def test_serving_pipeline_bf16_cascade_mode(setup):
     np.testing.assert_array_equal(np.asarray(cls), np.asarray(want_cls))
     np.testing.assert_allclose(np.asarray(conf), np.asarray(want_conf),
                                atol=1e-6)
+
+
+def test_guard_triggers_on_trunk_collapse(monkeypatch):
+    """The measured seed-8 failure shape: the trunk votes one class on
+    EVERY image with high confidence and high patch agreement, while the
+    per-patch path disagrees. The canary (escalated trunk-vs-per-patch
+    disagreement) reads 1.0 >= threshold, so the WHOLE batch must serve
+    per-patch votes — including images the escalation never touched."""
+    import tpusr.pipeline.cascade as casc
+
+    n = 8
+    imgs = (jnp.arange(n * 2 * 2 * 3, dtype=jnp.float32)
+            .reshape(n, 2, 2, 3) / (n * 12.0))
+    img_means = imgs.mean(axis=(1, 2, 3))
+    # collapsed trunk: class 0 everywhere, confident, unanimous patches
+    trunk_probs = jnp.tile(jnp.array([[0.9, 0.1]]), (n, 1))[:, None, :]
+
+    def pp_apply(qtree, flat):
+        means = flat.mean(axis=(1, 2, 3))
+        idx = jnp.argmin(jnp.abs(means[:, None] - img_means[None, :]), axis=1)
+        return jnp.tile(jnp.array([[0.2, 0.8]]), (idx.shape[0], 1))
+
+    monkeypatch.setattr(casc, "quantize_input", lambda q, x: x)
+    monkeypatch.setattr(casc, "shared_trunk_probs_int8",
+                        lambda q, x, p, s: trunk_probs)
+    monkeypatch.setattr(casc, "quantized_vgg16_apply", pp_apply)
+
+    # unguarded: only the escalated 2 images flip to per-patch class 1
+    cls_u, _ = make_cascade_votes({}, patch=2, stride=2, escalate_frac=0.25,
+                                  guard_threshold=None)(imgs)
+    assert np.asarray(cls_u).sum() == 2
+    # guarded: canary = 2/2 disagreement = 1.0 >= 0.6 -> whole batch
+    # re-served per-patch (all class 1)
+    cls_g, conf_g = make_cascade_votes({}, patch=2, stride=2,
+                                       escalate_frac=0.25,
+                                       guard_threshold=0.6)(imgs)
+    np.testing.assert_array_equal(np.asarray(cls_g), 1)
+    np.testing.assert_allclose(np.asarray(conf_g), 0.8, atol=1e-6)
+
+
+def test_guard_stays_silent_on_healthy_trunk(monkeypatch):
+    """When trunk and per-patch agree on the escalated subset, the guarded
+    cascade must be bit-identical to the unguarded one (the healthy path
+    costs one scalar compare)."""
+    import tpusr.pipeline.cascade as casc
+
+    n = 8
+    imgs = (jnp.arange(n * 2 * 2 * 3, dtype=jnp.float32)
+            .reshape(n, 2, 2, 3) / (n * 12.0))
+    img_means = imgs.mean(axis=(1, 2, 3))
+    p1 = 0.55 + 0.04 * jnp.arange(n)
+    trunk_probs = jnp.stack([1.0 - p1, p1], axis=-1)[:, None, :]  # class 1
+
+    def pp_apply(qtree, flat):  # agrees with the trunk everywhere
+        means = flat.mean(axis=(1, 2, 3))
+        idx = jnp.argmin(jnp.abs(means[:, None] - img_means[None, :]), axis=1)
+        return jnp.stack([1.0 - p1[idx], p1[idx]], axis=-1)
+
+    monkeypatch.setattr(casc, "quantize_input", lambda q, x: x)
+    monkeypatch.setattr(casc, "shared_trunk_probs_int8",
+                        lambda q, x, p, s: trunk_probs)
+    monkeypatch.setattr(casc, "quantized_vgg16_apply", pp_apply)
+
+    cls_u, conf_u = make_cascade_votes({}, patch=2, stride=2,
+                                       escalate_frac=0.25)(imgs)
+    cls_g, conf_g = make_cascade_votes({}, patch=2, stride=2,
+                                       escalate_frac=0.25,
+                                       guard_threshold=0.6)(imgs)
+    np.testing.assert_array_equal(np.asarray(cls_g), np.asarray(cls_u))
+    np.testing.assert_allclose(np.asarray(conf_g), np.asarray(conf_u),
+                               atol=1e-7)

@@ -144,6 +144,23 @@ def test_cascade_sharded_batch_equality(monkeypatch):
         cls_8m, _ = votes(shard_batch(mesh, imgs), jnp.int32(5))
         np.testing.assert_array_equal(np.asarray(cls_1m), np.asarray(cls_8m))
 
+    # the GUARDED cascade (the shipped default): the canary is a scalar
+    # reduced over the sharded batch and the fallback branch re-classifies
+    # the whole sharded batch — both lax.cond branches must agree with the
+    # single-device run. The random tables make the canary land wherever it
+    # lands; forcing threshold 0.0 (always trigger) and 1.01 (never) covers
+    # both branches deterministically.
+    for thresh in (0.0, 0.6, 1.01):
+        votes = jax.jit(make_cascade_votes({}, patch=2, stride=2,
+                                           escalate_frac=0.25,
+                                           escalate_score="vote_frac",
+                                           guard_threshold=thresh))
+        cls_1, conf_1 = votes(imgs)
+        cls_8, conf_8 = votes(shard_batch(mesh, imgs))
+        np.testing.assert_array_equal(np.asarray(cls_1), np.asarray(cls_8))
+        np.testing.assert_allclose(np.asarray(conf_1), np.asarray(conf_8),
+                                   atol=1e-6)
+
 
 @pytest.mark.slow  # 54s subprocess bootstrap; the driver runs dryrun_multichip directly every round
 def test_dryrun_multichip_4_devices():

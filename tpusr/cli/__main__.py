@@ -575,7 +575,8 @@ def _gate_certification_note(args) -> str | None:
         row = gate_row_name(args.sr_mode, args.clf_mode,
                             border=not args.no_border,
                             cascade_score=args.cascade_score,
-                            cascade_frac=args.cascade_frac)
+                            cascade_frac=args.cascade_frac,
+                            cascade_guard=args.cascade_guard > 0)
     except ValueError as e:
         return f"WARNING: configuration NOT gate-certified ({e})"
     root = os.path.dirname(os.path.dirname(os.path.dirname(
@@ -593,8 +594,8 @@ def _gate_certification_note(args) -> str | None:
         return (f"WARNING: {row} FAILED the hard serving gate "
                 f"(min vote agreement {m['min_vote_agreement']:.4f} < 0.99, "
                 f"{m['total_flips']} flips — GATE_r05.json); certified "
-                "alternatives: the default cascade_int8[vote_frac] or "
-                "per_patch_int8 on f32 SR")
+                "alternatives: the default cascade_int8[vote_frac+guard] "
+                "or per_patch_int8 on f32 SR")
     return (f"hard-gate certified: {row} (min vote agreement "
             f"{m['min_vote_agreement']:.4f}, {m['total_flips']} flips over "
             f"seeds {m.get('seeds')} — GATE_r05.json)")
@@ -672,7 +673,9 @@ def cmd_serve(args):
         calib_patches=calib_patches,
         sr_border_correction=not args.no_border,
         cascade_escalate_frac=args.cascade_frac,
-        cascade_escalate_score=args.cascade_score)
+        cascade_escalate_score=args.cascade_score,
+        cascade_guard_threshold=(args.cascade_guard
+                                 if args.cascade_guard > 0 else None))
 
     config = {"sr_mode": args.sr_mode, "clf_mode": args.clf_mode,
               "scale": args.scale, "patch": args.patch,
@@ -682,6 +685,9 @@ def cmd_serve(args):
     if args.clf_mode == "cascade_int8":
         config["cascade_escalate_frac"] = args.cascade_frac
         config["cascade_escalate_score"] = args.cascade_score
+        config["cascade_guard_threshold"] = (args.cascade_guard
+                                             if args.cascade_guard > 0
+                                             else None)
     note = _gate_certification_note(args)
     if note:
         config["gate"] = note
@@ -850,15 +856,16 @@ def build_parser():
     sp.add_argument("--patch", type=int, default=96)
     sp.add_argument("--stride", type=int, default=48)
     sp.add_argument("--num-classes", type=int, default=2)
-    # serve defaults = the hard-gate-certified cascade (GATE_r05.json:
-    # bf16 SR — image-faithful at 35.7-35.8 dB vs f32 SR on every seed —
-    # + vote_frac-ranked cascade_int8 at the certified-minimum frac 0.28125,
-    # min 99.22% vote agreement across 6 hard-task seeds, no calibration
-    # assumed; 500+ img/s measured on one chip). The same configuration is
-    # bench.py's DEFAULT_MODE; tests/test_gate_consistency.py asserts both
-    # stay certified — a future demotion fails tests instead of silently
-    # shipping.
-    sp.add_argument("--sr-mode", default="bf16",
+    # serve defaults = the hard-gate-certified GUARDED cascade
+    # (GATE_r05.json: f32 SR + vote_frac-ranked cascade_int8 at frac 0.25
+    # with the trunk-collapse guard at 0.6 — min 99.22% vote agreement on
+    # all NINE hard-task seeds, 3 flips / 1152 images, no calibration
+    # assumed). The guard is REQUIRED: the round-5 seed extension found a
+    # draw whose unguarded trunk collapses (seed 8, agreement 0.62). The
+    # same configuration is bench.py's DEFAULT_MODE;
+    # tests/test_gate_consistency.py asserts both stay certified — a
+    # future demotion fails tests instead of silently shipping.
+    sp.add_argument("--sr-mode", default="f32",
                     choices=("f32", "bf16", "int8"))
     sp.add_argument("--clf-mode", default="cascade_int8",
                     choices=("per_patch_f32", "per_patch_int8",
@@ -869,12 +876,18 @@ def build_parser():
                     help="cascade_int8: escalation ranking signal — patch-"
                          "agreement fraction (certified) or trunk vote "
                          "confidence (GATE_r05.json cascade_rank_analysis)")
-    sp.add_argument("--cascade-frac", type=float, default=0.28125,
+    sp.add_argument("--cascade-frac", type=float, default=0.25,
                     help="cascade_int8: fraction of each batch (the lowest-"
                          "scored trunk votes) escalated to the exact "
                          "per-patch int8 path (GATE_r05.json cascade rows; "
-                         "0.28125 is the certified minimum for bf16 SR, "
-                         "0.3125 the zero-flip tier)")
+                         "0.25 is the certified minimum with the guard, "
+                         "0.3125 the strictest tier: 1 flip / 1152)")
+    sp.add_argument("--cascade-guard", type=float, default=0.6,
+                    help="cascade_int8: trunk-collapse guard threshold — "
+                         "if the escalated subset's trunk-vs-per-patch "
+                         "disagreement reaches it, the whole batch is "
+                         "re-served per-patch (0 disables; 0.6 certified, "
+                         "REQUIRED for the 9-seed GATE_r05.json pass)")
     sp.add_argument("--no-border", action="store_true",
                     help="drop the int8 SR border band (classify-only mode: "
                          "fastest, SR output not image-faithful — see "

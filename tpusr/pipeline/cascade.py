@@ -24,17 +24,31 @@ trunk CONFIDENCE is not a reliable escalation ranking — on 4 of 6 seeds
 the trunk is confident about images it flips (conf-ranked rows fail the
 99% bar at every fraction up to 0.5; the round-4 "calibrate per
 deployment" assumption was refuted out-of-sample). Patch-agreement
-ranking (``escalate_score='vote_frac'``) IS reliable: the conv-padding
-drift that flips a vote first shows up as patch disagreement, so flips
-rank low by construction. vote_frac@frac=0.25 passes the pre-registered
->=99% vote-agreement gate on every seed (min 99.22%, 2 flips/768);
-frac=0.3125 has ZERO flips on all 6 seeds. vote_frac is the shipped
-default ranking (bench.py DEFAULT_MODE, the serve CLI, and
-tests/test_gate_consistency.py pin it to the artifact).
+ranking (``escalate_score='vote_frac'``) IS reliable for ordinary
+boundary drift: the conv-padding delta that flips a vote first shows up
+as patch disagreement, so flips rank low by construction.
+
+Second measured finding (round-5 seed extension, seeds 6-8): on one fresh
+weight/dataset draw (seed 8) the full-image trunk COLLAPSED — unanimous,
+high-confidence, high-patch-agreement votes for one class while the
+per-patch reference splits 81/47. No escalation score can rank such flips
+(they look maximally healthy), so every unguarded cascade fails that seed
+catastrophically (agreement 0.62-0.68). The fix is the ``guard``: the
+escalated subset already carries BOTH the trunk's and the per-patch path's
+votes, so their disagreement fraction is a free estimator of the trunk's
+batch flip rate. Healthy seeds measure 0.03-0.44 at K=32; the collapsed
+seed measures 1.00 — a guard at ``guard_threshold=0.6`` separates them
+with wide margin and triggers a full-batch per-patch fallback
+(``lax.cond``: the fallback branch only executes when triggered). A
+spurious trigger is correctness-safe (per-patch IS the certified path; it
+only costs throughput), so the threshold errs low. The guarded
+vote_frac cascade at frac=0.25 passes the pre-registered >=99% bar on ALL
+NINE seeds (min 99.22%, worst seeds leave exactly 1 flip in 128).
 
 TPU-native shape discipline: K is static (top_k + gather + scatter inside
-one jit graph — no data-dependent shapes), so the whole cascade fuses into
-the serving pipeline's single compiled step.
+one jit graph — no data-dependent shapes) and the guard is a scalar
+``lax.cond``, so the whole cascade fuses into the serving pipeline's
+single compiled step.
 """
 
 from __future__ import annotations
@@ -52,7 +66,8 @@ from tpusr.models.vgg_trunk import shared_trunk_probs_int8
 
 def make_cascade_votes(qtree: dict, patch: int = 96, stride: int = 48,
                        escalate_frac: float = 0.25,
-                       escalate_score: str = "conf"):
+                       escalate_score: str = "conf",
+                       guard_threshold: float | None = None):
     """Build the cascade vote function for a quantized VGG16 tree.
 
     Returns ``votes(images, n_valid=None) -> (classes, confidences)`` —
@@ -88,6 +103,18 @@ def make_cascade_votes(qtree: dict, patch: int = 96, stride: int = 48,
                      drift that flips votes; the gate's
                      `cascade_rank_analysis` measures which score ranks
                      real flips lower per seed (GATE_r05.json).
+
+    ``guard_threshold`` (None = off) arms the trunk-collapse guard: if the
+    fraction of ESCALATED images whose exact per-patch vote disagrees with
+    their trunk vote reaches the threshold, the whole batch is re-served
+    from the per-patch path (``lax.cond`` — the fallback only executes when
+    triggered, so the healthy-path cost is one scalar compare). This is the
+    only defense against the measured seed-8 failure mode where the trunk
+    collapses with HIGH confidence and HIGH patch agreement (see module
+    docstring); 0.6 sits in the wide measured gap between healthy (<=0.44)
+    and collapsed (1.00) canary readings. When ``n_valid`` marks pad rows,
+    escalated pad rows are duplicates of a real image, so their
+    disagreement mirrors a real image's — the canary stays meaningful.
     """
     if not 0.0 < escalate_frac <= 1.0:
         raise ValueError(f"escalate_frac must be in (0, 1], got "
@@ -131,6 +158,22 @@ def make_cascade_votes(qtree: dict, patch: int = 96, stride: int = 48,
         flat = patches.reshape((-1,) + patches.shape[2:])
         probs_p = quantized_vgg16_apply(qtree, flat).reshape(k, nh * nw, -1)
         cls_p, conf_p = jax.vmap(_vote)(probs_p)
-        return cls_t.at[idx].set(cls_p), conf_t.at[idx].set(conf_p)
+        merged = (cls_t.at[idx].set(cls_p), conf_t.at[idx].set(conf_p))
+        if guard_threshold is None:
+            return merged
+
+        # trunk-collapse guard: the escalated subset carries both vote sets,
+        # so their disagreement estimates the trunk's batch flip rate for
+        # free; past the threshold, serve the WHOLE batch from the certified
+        # per-patch path (only executes when triggered)
+        def full_per_patch(_):
+            p = jax.vmap(per_image)(images)
+            f = p.reshape((-1,) + p.shape[2:])
+            pr = quantized_vgg16_apply(qtree, f).reshape(n, nh * nw, -1)
+            return jax.vmap(_vote)(pr)
+
+        canary = (cls_p != jnp.take(cls_t, idx)).mean()
+        return jax.lax.cond(canary >= guard_threshold,
+                            full_per_patch, lambda _: merged, None)
 
     return votes

@@ -214,7 +214,8 @@ def make_serving_pipeline(edsr_params, clf_params, lr_hw: tuple[int, int],
                           calib_lr=None, calib_patches=None, mesh=None,
                           sr_border_correction: bool = True,
                           cascade_escalate_frac: float = 0.25,
-                          cascade_escalate_score: str = "conf"):
+                          cascade_escalate_score: str = "conf",
+                          cascade_guard_threshold: float | None = None):
     """Production serving pipeline: trained EDSR + VGG16 params -> a
     ``FusedSRClassifyPipeline`` wired with the gated fast paths.
 
@@ -235,6 +236,11 @@ def make_serving_pipeline(edsr_params, clf_params, lr_hw: tuple[int, int],
               per threshold/fraction/score in GATE_r05.json's derived
               cascade rows and `cascade_rank_analysis`; 'vote_frac' is
               the certified default, 'conf' was demoted on fresh seeds).
+              ``cascade_guard_threshold`` arms the trunk-collapse guard
+              (escalated-subset disagreement canary -> full per-patch
+              fallback; see tpusr.pipeline.cascade): 0.6 is the certified
+              setting — REQUIRED for the 9-seed certification, since one
+              fresh seed collapsed the unguarded trunk (GATE_r05.json).
 
     Every non-parity mode is a serving mode in the int8 sense: validated at
     protocol scale by ``python -m tpusr.tools.serving_gate`` (>=99% vote
@@ -293,7 +299,8 @@ def make_serving_pipeline(edsr_params, clf_params, lr_hw: tuple[int, int],
 
         cascade_votes = make_cascade_votes(
             qtree, patch, stride, escalate_frac=cascade_escalate_frac,
-            escalate_score=cascade_escalate_score)
+            escalate_score=cascade_escalate_score,
+            guard_threshold=cascade_guard_threshold)
     else:
         raise ValueError(f"unknown clf_mode {clf_mode!r}")
 

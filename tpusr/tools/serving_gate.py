@@ -318,10 +318,18 @@ CASCADE_THRESHOLDS = (0.60, 0.70, 0.80, 0.90)
 CASCADE_FRACS = (0.15625, 0.1875, 0.21875, 0.25, 0.265625, 0.2734375,
                  0.28125, 0.296875, 0.3046875, 0.3125, 0.375, 0.5)
 
+# Trunk-collapse guard (cascade.py guard_threshold): healthy seeds measure
+# escalated-subset disagreement 0.03-0.44 at the shipped frac; the collapsed
+# seed 8 measures 1.00. 0.6 sits in the measured gap with margin on both
+# sides, and a spurious trigger is correctness-safe (full per-patch IS the
+# certified path — it only costs throughput).
+CASCADE_GUARD_THRESHOLD = 0.6
+
 
 def gate_row_name(sr_mode: str, clf_mode: str, border: bool = True,
                   cascade_score: str = "conf",
-                  cascade_frac: float | None = None) -> str:
+                  cascade_frac: float | None = None,
+                  cascade_guard: bool = False) -> str:
     """The gate mode-row name a make_serving_pipeline configuration maps to.
 
     This is the bridge the gate-consistency test uses to assert that the
@@ -337,7 +345,8 @@ def gate_row_name(sr_mode: str, clf_mode: str, border: bool = True,
         if cascade_frac is None:
             raise ValueError("cascade_int8 needs cascade_frac")
         prefix = "cascade_int8" if sr_mode == "f32" else "bf16_sr_cascade_int8"
-        return f"{prefix}[{cascade_score}]@frac={cascade_frac}"
+        score = cascade_score + ("+guard" if cascade_guard else "")
+        return f"{prefix}[{score}]@frac={cascade_frac}"
     key = {
         ("f32", "per_patch_int8", True): "int8_per_patch",
         ("f32", "shared_trunk_f32", True): "shared_trunk_f32",
@@ -460,6 +469,19 @@ def derive_cascade_modes(raw_votes, ref_cls, ref_conf, labels_h,
             esc = np.zeros(n, bool)
             esc[np.argsort(s, kind="stable")[:k]] = True
             add(f"{prefix}[{sname}]@frac={frac}", esc)
+            # guarded twin (cascade.py guard_threshold): the escalated
+            # subset's trunk-vs-per-patch disagreement is a free trunk-
+            # collapse canary; past the threshold the WHOLE batch serves
+            # per-patch votes. This is the only defense against the
+            # measured seed-8 failure (unanimous high-confidence
+            # high-agreement trunk collapse that no ranking can escalate).
+            canary = float((cls_p[esc] != cls_t[esc]).mean())
+            gesc = np.ones(n, bool) if canary >= CASCADE_GUARD_THRESHOLD \
+                else esc
+            add(f"{prefix}[{sname}+guard]@frac={frac}", gesc)
+            out[-1]["guard_canary"] = canary
+            out[-1]["guard_triggered"] = bool(
+                canary >= CASCADE_GUARD_THRESHOLD)
     return out
 
 
