@@ -83,7 +83,9 @@ MODES = {
     # The guard (cascade.py guard_threshold=0.6) detects collapse from the
     # escalated subset's trunk-vs-per-patch disagreement (healthy <=0.44,
     # collapsed 1.00) and falls back to full per-patch — the guarded rows
-    # are the only cascades passing all NINE GATE_r05.json seeds.
+    # are the only cascades passing all TWELVE GATE_r05.json seeds
+    # (seeds 9-11 are fully out-of-sample: frac, ranking AND guard threshold
+    # were chosen before those runs existed).
     "cascade_int8_votefrac": dict(
         sr="f32", border=True, clf="cascade_int8", frac=0.25,
         score="vote_frac",
@@ -93,8 +95,8 @@ MODES = {
     "cascade_int8_votefrac_guarded": dict(
         sr="f32", border=True, clf="cascade_int8", frac=0.25,
         score="vote_frac", guard=0.6,
-        fidelity="hard-gate certified on ALL NINE GATE_r05.json hard-task "
-                 "seeds (1152 images, min 99.22% vote agreement, 3 flips; "
+        fidelity="hard-gate certified on ALL TWELVE GATE_r05.json hard-task "
+                 "seeds (1536 images, min 99.22% vote agreement, 4 flips; "
                  "pre-registered >=99% bar, no calibration assumed): "
                  "cascade_int8[vote_frac+guard]@frac=0.25 — the trunk-"
                  "collapse guard catches the seed-8 failure the unguarded "
@@ -102,13 +104,13 @@ MODES = {
     "cascade_int8_votefrac_strict": dict(
         sr="f32", border=True, clf="cascade_int8", frac=0.3125,
         score="vote_frac", guard=0.6,
-        fidelity="strictest cascade tier: 1 flip in 1152 images across all "
-                 "9 seeds (cascade_int8[vote_frac+guard]@frac=0.3125); a "
+        fidelity="strictest cascade tier: 1 flip in 1536 images across all "
+                 "12 seeds (cascade_int8[vote_frac+guard]@frac=0.3125); a "
                  "zero-flip tier no longer exists — seed 6's single "
                  "escalation-target flip (int8_per_patch, 99.22%) is "
                  "irreducible for every int8 mode"),
     # bf16-SR rows: DEMOTED by the seed extension. bf16 SR stays image-
-    # faithful (35.6-35.8 dB vs f32 SR on all 9 seeds) but its boundary-
+    # faithful (35.6-35.8 dB vs f32 SR on all 12 seeds) but its boundary-
     # vote drift costs 2 flips on seed 6's per-patch target (98.44% < the
     # 99% bar) — and a cascade cannot beat its own escalation target.
     # Measured frontier rows only; they certified on the first 6 seeds
@@ -119,7 +121,7 @@ MODES = {
         fidelity="DEMOTED at the 99% bar by the round-5 seed extension "
                  "(GATE_r05.json seed 6: the bf16-SR per-patch escalation "
                  "target itself has 2 boundary flips, 98.44%); certified "
-                 "min 98.44% / mean 99.57% over 9 seeds, bf16 SR image-"
+                 "min 98.44% / mean 99.61% over 12 seeds, bf16 SR image-"
                  "faithful at 35.6-35.8 dB vs f32 SR"),
     "bf16": dict(
         sr="bf16", border=True, clf="per_patch_bf16",
@@ -131,9 +133,11 @@ MODES = {
 }
 # Default = the fastest mode that passes the pre-registered hard-task gate
 # (>= 99% vote agreement vs the f32 per-patch reference path) on EVERY seed
-# of GATE_r05.json — NINE seeds x 128 images, 6 of them selection-fresh —
+# of GATE_r05.json — TWELVE seeds x 128 images, 9 of them selection-fresh
+# (3 of those fully out-of-sample, run after frac/ranking/guard were all
+# frozen) —
 # AND whose SR output is image-faithful. That is the GUARDED f32-SR
-# vote_frac cascade at frac=0.25 (min 99.22%, 3 flips / 1152 images, no
+# vote_frac cascade at frac=0.25 (min 99.22%, 4 flips / 1536 images, no
 # calibration assumption). The round-5 seed extension demoted the two
 # previous default candidates honestly: the unguarded cascade dies on a
 # fresh seed whose trunk collapses (seed 8, agreement 0.62), and every

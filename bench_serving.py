@@ -1,8 +1,9 @@
 """Serving latency bench: p50/p99 request latency + goodput of the
 micro-batching PipelineServer at the bench geometry (128x128 LR -> x4 SR ->
-96/48 patch-vote), on the hard-gate-certified serving default (bf16 EDSR +
-vote_frac-ranked int8 confidence cascade at frac=0.28125, GATE_r05.json —
-the same configuration as bench.py/`tpusr serve`).
+96/48 patch-vote), on the hard-gate-certified serving default (f32 EDSR +
+vote_frac-ranked int8 confidence cascade at frac=0.25 with the
+trunk-collapse guard at 0.6, GATE_r05.json — the same configuration as
+bench.py's cascade_int8_votefrac_guarded / `tpusr serve`).
 
 Two methodologies, reported separately (PERF.md):
 
@@ -36,12 +37,14 @@ import time
 import numpy as np
 
 
-def make_default_pipeline(batch_size, sr_mode="bf16", clf_mode="cascade_int8",
-                          cascade_score="vote_frac", cascade_frac=0.28125):
+def make_default_pipeline(batch_size, sr_mode="f32", clf_mode="cascade_int8",
+                          cascade_score="vote_frac", cascade_frac=0.25,
+                          cascade_guard=0.6):
     """The hard-gate-certified serving default on random weights (latency is
-    weight-independent): bf16 fused-tail EDSR + int8 VGG16 confidence cascade
-    (vote_frac ranking, frac 0.28125 — GATE_r05.json). Other gated modes via
-    kwargs."""
+    weight-independent): f32 fused-tail EDSR + int8 VGG16 confidence cascade
+    (vote_frac ranking, frac 0.25, trunk-collapse guard 0.6 — the
+    cascade_int8_votefrac_guarded row of GATE_r05.json, the only cascade
+    passing all nine seeds). Other gated modes via kwargs."""
     import jax
     import jax.numpy as jnp
 
@@ -65,7 +68,8 @@ def make_default_pipeline(batch_size, sr_mode="bf16", clf_mode="cascade_int8",
                                  calib_lr=calib_lr,
                                  calib_patches=calib_patches,
                                  cascade_escalate_frac=cascade_frac,
-                                 cascade_escalate_score=cascade_score)
+                                 cascade_escalate_score=cascade_score,
+                                 cascade_guard_threshold=cascade_guard)
     return pipe, lr_hw
 
 
@@ -180,10 +184,13 @@ def main():
     ap.add_argument("--requests", type=int, default=64)
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--max-wait-ms", type=float, default=5.0)
-    ap.add_argument("--sr-mode", default="bf16")
+    ap.add_argument("--sr-mode", default="f32")
     ap.add_argument("--clf-mode", default="cascade_int8")
     ap.add_argument("--cascade-score", default="vote_frac")
-    ap.add_argument("--cascade-frac", type=float, default=0.28125)
+    ap.add_argument("--cascade-frac", type=float, default=0.25)
+    ap.add_argument("--cascade-guard", type=float, default=0.6,
+                    help="trunk-collapse guard threshold; <=0 disarms "
+                         "(the guard is part of the certified default)")
     ap.add_argument("--device-side", action="store_true",
                     help="measure the on-chip service-time distribution and "
                          "derive co-located request latency (no tunnel)")
@@ -198,7 +205,8 @@ def main():
 
     pipe, lr_hw = make_default_pipeline(
         args.batch_size, sr_mode=args.sr_mode, clf_mode=args.clf_mode,
-        cascade_score=args.cascade_score, cascade_frac=args.cascade_frac)
+        cascade_score=args.cascade_score, cascade_frac=args.cascade_frac,
+        cascade_guard=args.cascade_guard if args.cascade_guard > 0 else None)
 
     if args.device_side:
         res = run_device_side(pipe, lr_hw, args.batch_size, args.samples,
